@@ -1,0 +1,69 @@
+"""Model zoo registry.
+
+Models are flax.linen modules with the shared contract
+(ImageNet-normalized NHWC inputs; `train=True` → list/tuple of predictions,
+eval → single ``[B, H, W]`` disparity map; reference README.md:70-72).
+
+`create_model(name)` is the single factory; `MODEL_REGISTRY` maps the
+reference's exported model names (reference models/__init__.py:3-17) to
+constructors as they come online.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from stereo_toolbox_tpu.models.psmnet import PSMNet
+
+MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
+    "PSMNet": PSMNet,
+}
+
+
+def register_model(name: str, ctor: Callable[..., Any]) -> None:
+    MODEL_REGISTRY[name] = ctor
+
+
+def create_model(name: str, **kwargs):
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**kwargs)
+
+
+def load_checkpoint_flexible(params, state_dict):
+    """Merge a flat/partial checkpoint into a param pytree, tolerating
+    missing or extra keys (reference models/__init__.py:20-51 analogue).
+
+    Keys are '/'-joined paths. Returns (merged_params, loaded, skipped).
+    """
+    import jax
+
+    flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+
+    def path_str(p):
+        parts = []
+        for k in p:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        return "/".join(parts)
+
+    by_name = {path_str(p): p for p in flat}
+    loaded, skipped = [], []
+    for name, value in state_dict.items():
+        # tolerate a leading "module/" or "params/" prefix
+        candidates = [name, name.removeprefix("module/"),
+                      name.removeprefix("params/")]
+        hit = next((c for c in candidates if c in by_name), None)
+        if hit is None or flat[by_name[hit]].shape != value.shape:
+            skipped.append(name)
+            continue
+        flat[by_name[hit]] = value
+        loaded.append(name)
+
+    merged = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), list(flat.values()))
+    return merged, loaded, skipped
+
+
+__all__ = ["PSMNet", "MODEL_REGISTRY", "create_model", "register_model",
+           "load_checkpoint_flexible"]

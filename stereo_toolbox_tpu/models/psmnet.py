@@ -1,0 +1,146 @@
+"""PSMNet (CVPR'18) — SPP features, concat cost volume, stacked 3D hourglass.
+
+TPU-native re-design of the reference implementation
+(models/PSMNet/stackhourglass.py, models/PSMNet/submodule.py):
+  * channels-last NDHWC volumes, built vectorized (ops.build_concat_volume)
+    instead of the reference's Python slice-write loop (stackhourglass.py:111-120);
+  * the three hourglasses share one module class with the reference's
+    pre/post skip wiring (stackhourglass.py:125-132);
+  * trilinear upsample + softmax + soft-argmax heads (stackhourglass.py:139-156).
+
+Contract: inputs are ImageNet-normalized ``[B, H, W, 3]``; training returns
+``[pred1, pred2, pred3]`` full-res ``[B, H, W]`` maps, eval returns ``pred3``
+(stackhourglass.py:158-161).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu import ops
+from stereo_toolbox_tpu.nn.layers import ConvBNAct, ConvTransposeBN, \
+    BasicResBlock, avg_pool
+
+
+class SPPFeature(nn.Module):
+    """Spatial-pyramid-pooling feature extractor → ``[B, H/4, W/4, 32]``.
+
+    Parity: models/PSMNet/submodule.py:57-132 (firstconv + 4 residual stages
+    + 4 pooled branches + lastconv).
+    """
+    dtype: jnp.dtype | None = None
+
+    def _layer(self, x, planes, blocks, stride, dilation, train):
+        x = BasicResBlock(planes, stride, dilation,
+                          downsample=(stride != 1 or x.shape[-1] != planes),
+                          dtype=self.dtype)(x, train)
+        for _ in range(1, blocks):
+            x = BasicResBlock(planes, 1, dilation, dtype=self.dtype)(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for stride in (2, 1, 1):
+            x = ConvBNAct(32, 3, stride, dtype=self.dtype)(x, train)
+        x = self._layer(x, 32, 3, 1, 1, train)
+        x_raw = self._layer(x, 64, 16, 2, 1, train)     # 1/4 res
+        x = self._layer(x_raw, 128, 3, 1, 1, train)
+        x_skip = self._layer(x, 128, 3, 1, 2, train)    # dilation 2
+
+        h, w = x_skip.shape[1:3]
+        branches = []
+        for pool in (64, 32, 16, 8):
+            p = (min(pool, h), min(pool, w))
+            b = avg_pool(x_skip, p, p)
+            b = ConvBNAct(32, 1, padding=0, dtype=self.dtype)(b, train)
+            b = ops.interpolate(b, (h, w), (1, 2), align_corners=False)
+            branches.append(b)
+
+        feat = jnp.concatenate([x_raw, x_skip] + branches[::-1], axis=-1)
+        feat = ConvBNAct(128, 3, dtype=self.dtype)(feat, train)
+        feat = nn.Conv(32, (1, 1), use_bias=False, dtype=self.dtype)(feat)
+        return feat
+
+
+class Hourglass3D(nn.Module):
+    """3D encoder-decoder with external pre/post squeeze skips.
+
+    Parity: models/PSMNet/stackhourglass.py:10-50.
+    """
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, presqu, postsqu, train: bool = False):
+        f2 = self.features * 2
+        out = ConvBNAct(f2, 3, 2, dtype=self.dtype)(x, train)          # 1/8
+        pre = ConvBNAct(f2, 3, 1, act=None, dtype=self.dtype)(out, train)
+        pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+
+        out = ConvBNAct(f2, 3, 2, dtype=self.dtype)(pre, train)        # 1/16
+        out = ConvBNAct(f2, 3, 1, dtype=self.dtype)(out, train)
+
+        up = ConvTransposeBN(f2, 3, 2, dtype=self.dtype)(out, train)   # 1/8
+        post = nn.relu(up + (presqu if presqu is not None else pre))
+
+        out = ConvTransposeBN(self.features, 3, 2,
+                              dtype=self.dtype)(post, train)           # 1/4
+        return out, pre, post
+
+
+class PSMNet(nn.Module):
+    """Stacked-hourglass PSMNet."""
+    max_disp: int = 192
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, left: jax.Array, right: jax.Array,
+                 train: bool = False):
+        B, H, W, _ = left.shape
+        feat = SPPFeature(dtype=self.dtype, name="feature_extraction")
+        ref_f = feat(left, train)
+        tgt_f = feat(right, train)
+
+        cost = ops.build_concat_volume(ref_f, tgt_f, self.max_disp // 4)
+
+        # dres0 / dres1 + residual (stackhourglass.py:122-123)
+        c = ConvBNAct(32, 3, dtype=self.dtype)(cost, train)
+        c = ConvBNAct(32, 3, dtype=self.dtype)(c, train)
+        cost0 = c
+        c = ConvBNAct(32, 3, dtype=self.dtype)(cost0, train)
+        c = ConvBNAct(32, 3, act=None, dtype=self.dtype)(c, train)
+        cost0 = c + cost0
+
+        out1, pre1, post1 = Hourglass3D(32, dtype=self.dtype)(
+            cost0, None, None, train)
+        out1 = out1 + cost0
+        out2, pre2, post2 = Hourglass3D(32, dtype=self.dtype)(
+            out1, pre1, post1, train)
+        out2 = out2 + cost0
+        out3, pre3, post3 = Hourglass3D(32, dtype=self.dtype)(
+            out2, pre1, post2, train)
+        out3 = out3 + cost0
+
+        def classify(x):
+            x = ConvBNAct(32, 3, dtype=self.dtype)(x, train)
+            return nn.Conv(1, (3, 3, 3), use_bias=False,
+                           dtype=self.dtype)(x)
+
+        cost1 = classify(out1)
+        cost2 = classify(out2) + cost1
+        cost3 = classify(out3) + cost2
+
+        def regress(cost_low):
+            # [B, D/4, H/4, W/4, 1] -> full-res soft-argmax
+            c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
+                                (1, 2, 3), align_corners=False)
+            c = c.astype(jnp.float32)
+            prob = jax.nn.softmax(c, axis=1)
+            return ops.disparity_regression(prob, self.max_disp)
+
+        pred3 = regress(cost3)
+        if train:
+            return [regress(cost1), regress(cost2), pred3]
+        return pred3

@@ -1,0 +1,158 @@
+"""Core conv/norm blocks shared by every model (flax.linen, channels-last).
+
+These are the TPU-native analogues of the `convbn`/`convbn_3d`/`BasicBlock`
+helpers every reference model re-vendors (e.g. models/PSMNet/submodule.py:10-43,
+models/GwcNet/submodule.py:11-21). 2D vs 3D is selected by the kernel rank —
+inputs are ``[B, H, W, C]`` or ``[B, D, H, W, C]`` and convolutions run as
+NHWC/NDHWC so C rides the TPU lane axis.
+
+BatchNorm semantics mirror torch (momentum 0.1 → flax momentum 0.9,
+eps 1e-5). Cross-replica stat sync (SyncBN, trainer_torchrun.py:112-113) comes
+for free under pjit: a mean over a sharded batch axis is a global mean.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _tuple(k, n: int) -> tuple:
+    if isinstance(k, (tuple, list)):
+        assert len(k) == n
+        return tuple(k)
+    return (k,) * n
+
+
+def avg_pool(x: jax.Array, window, stride=None) -> jax.Array:
+    """Floor-mode average pool over the spatial axes (torch AvgPool semantics,
+    count_include_pad irrelevant since there is no padding)."""
+    n_spatial = x.ndim - 2
+    window = _tuple(window, n_spatial)
+    stride = _tuple(stride if stride is not None else window, n_spatial)
+    dims = (1,) + window + (1,)
+    strides = (1,) + stride + (1,)
+    out = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, "VALID")
+    denom = 1.0
+    for w in window:
+        denom *= w
+    return out / denom
+
+
+def max_pool(x: jax.Array, window, stride=None, padding="VALID") -> jax.Array:
+    n_spatial = x.ndim - 2
+    window = _tuple(window, n_spatial)
+    stride = _tuple(stride if stride is not None else window, n_spatial)
+    dims = (1,) + window + (1,)
+    strides = (1,) + stride + (1,)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides,
+                                 padding)
+
+
+class ConvBNAct(nn.Module):
+    """Conv (2D or 3D by kernel rank) → optional BatchNorm → optional act.
+
+    torch-parity padding: explicit symmetric `padding` pixels per spatial dim
+    (`dilation if dilation > 1 else pad` convention is the caller's concern).
+    """
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int | None = None  # None → (k-1)//2 * dilation
+    dilation: Sequence[int] | int = 1
+    norm: bool = True
+    act: Callable | None = nn.relu
+    use_bias: bool | None = None  # default: no bias when normed
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        n = x.ndim - 2
+        k = _tuple(self.kernel_size, n)
+        s = _tuple(self.strides, n)
+        d = _tuple(self.dilation, n)
+        if self.padding is None:
+            p = tuple((kk - 1) // 2 * dd for kk, dd in zip(k, d))
+        else:
+            p = _tuple(self.padding, n)
+        pad = tuple((pp, pp) for pp in p)
+        bias = (not self.norm) if self.use_bias is None else self.use_bias
+        x = nn.Conv(self.features, k, strides=s, padding=pad,
+                    kernel_dilation=d, use_bias=bias, dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal())(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ConvTransposeBN(nn.Module):
+    """Stride-2 transpose conv (2D/3D) doubling spatial dims → BatchNorm.
+
+    torch-parity target: ``ConvTranspose3d(k=3, s=2, p=1, output_padding=1)``
+    (models/PSMNet/stackhourglass.py:25-29) whose output is exactly 2× the
+    input size; linen's `padding='SAME'` transpose has the same size map.
+    """
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 2
+    norm: bool = True
+    act: Callable | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        n = x.ndim - 2
+        x = nn.ConvTranspose(self.features, _tuple(self.kernel_size, n),
+                             strides=_tuple(self.strides, n), padding="SAME",
+                             use_bias=not self.norm, dtype=self.dtype,
+                             kernel_init=nn.initializers.he_normal())(x)
+        if self.norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicResBlock(nn.Module):
+    """Two 3×3 conv-bn with residual add (reference `BasicBlock`,
+    models/PSMNet/submodule.py:21-43 — note: NO ReLU after the add)."""
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        out = ConvBNAct(self.features, 3, self.strides, dilation=self.dilation,
+                        dtype=self.dtype)(x, train)
+        out = ConvBNAct(self.features, 3, 1, dilation=self.dilation,
+                        act=None, dtype=self.dtype)(out, train)
+        if self.downsample:
+            x = ConvBNAct(self.features, 1, self.strides, padding=0, act=None,
+                          dtype=self.dtype)(x, train)
+        return out + x
+
+
+class FeatureAtt(nn.Module):
+    """Feature-gated cost-volume attention (IGEV `FeatureAtt`,
+    models/IGEVStereo/submodule.py:228-241): a 2D feature map gates every
+    disparity plane of the volume via a sigmoid."""
+    cv_channels: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, cv: jax.Array, feat: jax.Array,
+                 train: bool = False) -> jax.Array:
+        # cv: [B, D, H, W, Cv]; feat: [B, H, W, Cf]
+        att = ConvBNAct(feat.shape[-1] // 2, 1, padding=0,
+                        act=nn.leaky_relu, dtype=self.dtype)(feat, train)
+        att = nn.Conv(self.cv_channels, (1, 1), dtype=self.dtype)(att)
+        return jax.nn.sigmoid(att)[:, None] * cv

@@ -1,0 +1,58 @@
+"""Shared op library — the single home for stereo primitives.
+
+The reference re-vendors these per model (SURVEY.md §1); here every model pulls
+from one tested, TPU-tuned implementation. All ops are pure functions on
+channels-last arrays and are safe under `jit`/`vmap`/`grad`.
+"""
+
+from stereo_toolbox_tpu.ops.volume import (
+    shifted_right_stack,
+    build_concat_volume,
+    build_gwc_volume,
+    build_norm_correlation_volume,
+    build_correlation_volume,
+    groupwise_correlation,
+    disparity_regression,
+    soft_argmax,
+    disparity_variance,
+)
+from stereo_toolbox_tpu.ops.sampling import (
+    coords_grid,
+    bilinear_sampler,
+    warp_right_to_left,
+    disp_warp,
+)
+from stereo_toolbox_tpu.ops.corr import (
+    all_pairs_correlation,
+    build_corr_pyramid,
+    corr_lookup_1d,
+)
+from stereo_toolbox_tpu.ops.upsample import (
+    interpolate,
+    upsample_disp_bilinear,
+    convex_upsample,
+    context_upsample,
+)
+
+__all__ = [
+    "shifted_right_stack",
+    "build_concat_volume",
+    "build_gwc_volume",
+    "build_norm_correlation_volume",
+    "build_correlation_volume",
+    "groupwise_correlation",
+    "disparity_regression",
+    "soft_argmax",
+    "disparity_variance",
+    "coords_grid",
+    "bilinear_sampler",
+    "warp_right_to_left",
+    "disp_warp",
+    "all_pairs_correlation",
+    "build_corr_pyramid",
+    "corr_lookup_1d",
+    "interpolate",
+    "upsample_disp_bilinear",
+    "convex_upsample",
+    "context_upsample",
+]

@@ -1,0 +1,129 @@
+"""All-pairs correlation, correlation pyramids, and windowed lookup.
+
+This is the shared implementation of the primitives the reference vendors in
+`models/RAFTStereo/corr.py:110-188` and `models/IGEVStereo/geometry.py:7-69`,
+including the functionality of the *absent* `corr_sampler` CUDA extension
+(models/RAFTStereo/corr.py:17-29) — realized here as vectorized JAX gathers,
+with a Pallas fast path in `ops/pallas/lookup.py` for the hot eval shapes.
+
+Layouts:
+  * features      ``[B, H, W, C]``
+  * all-pairs corr ``[B, H, W1, W2]`` (W2 = right-image x-axis)
+  * pyramids      lists of ``[B, H, W1, W2 / 2^i]`` (avg-pooled last axis)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu.ops.sampling import sample_1d
+
+
+def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
+    """Per-row all-pairs correlation, scaled by 1/sqrt(C).
+
+    Parity: models/RAFTStereo/corr.py:148-156 (`CorrBlock1D.corr`):
+    ``einsum('aijk,aijh->ajkh') / sqrt(D)`` in NCHW == this in NHWC.
+
+    Args:
+      fmap1: ``[B, H, W1, C]`` left features.
+      fmap2: ``[B, H, W2, C]`` right features.
+
+    Returns:
+      ``[B, H, W1, W2]``.
+    """
+    c = fmap1.shape[-1]
+    corr = jnp.einsum("bhic,bhjc->bhij", fmap1, fmap2,
+                      preferred_element_type=jnp.float32)
+    return corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+
+
+def avg_pool_last(x: jax.Array, window: int = 2) -> jax.Array:
+    """Average-pool the last axis by `window` (stride = window, floor)."""
+    n = x.shape[-1]
+    n_out = n // window
+    x = x[..., : n_out * window]
+    return x.reshape(x.shape[:-1] + (n_out, window)).mean(axis=-1)
+
+
+def build_corr_pyramid(corr: jax.Array,
+                       num_levels: int) -> list[jax.Array]:
+    """List of `num_levels` volumes, each half the last-axis resolution.
+
+    Parity: models/RAFTStereo/corr.py:117-125 (only the first `num_levels`
+    entries are ever read by the lookup).
+    """
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool_last(corr)
+        pyramid.append(corr)
+    return pyramid
+
+
+def corr_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
+                   radius: int = 4) -> jax.Array:
+    """Sample a ±radius window around position `x` at every pyramid level.
+
+    Parity: models/RAFTStereo/corr.py:127-146 (`CorrBlock1D.__call__`): level i
+    is sampled at ``x / 2^i + dx`` for dx in [-r, r], linear interpolation,
+    zeros out of range.
+
+    Args:
+      pyramid: list of ``[B, H, W1, W2/2^i]``.
+      x: ``[B, H, W1]`` real-valued x-positions (level-0 scale).
+      radius: half window size r.
+
+    Returns:
+      ``[B, H, W1, L*(2r+1)]`` lookup features (level-major, dx ascending).
+    """
+    dx = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    out = []
+    for i, corr in enumerate(pyramid):
+        pos = x[..., None] / (2.0 ** i) + dx  # [B, H, W1, 2r+1]
+        out.append(sample_1d(corr, pos))
+    return jnp.concatenate(out, axis=-1)
+
+
+def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
+                     radius: int = 4) -> jax.Array:
+    """Windowed lookup into a multi-channel per-pixel volume pyramid.
+
+    Used for IGEV's geometry-encoding-volume lookup
+    (models/IGEVStereo/geometry.py:35-49): the volume holds C features per
+    (pixel, disparity) and is sampled along the disparity axis.
+
+    Args:
+      pyramid: list of ``[B, H, W, D/2^i, C]``.
+      x: ``[B, H, W]`` real-valued disparity positions (level-0 scale).
+
+    Returns:
+      ``[B, H, W, L*(2r+1)*C]`` (level-major, dx-major, channel-minor).
+    """
+    dx = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    out = []
+    for i, vol in enumerate(pyramid):
+        pos = x[..., None] / (2.0 ** i) + dx  # [B, H, W, K]
+        # Move channels before the sampled axis: [B, H, W, C, D_i]
+        v = jnp.moveaxis(vol, -1, -2)
+        samples = sample_1d(v, pos[..., None, :])  # [B, H, W, C, K]
+        samples = jnp.swapaxes(samples, -1, -2)    # [B, H, W, K, C]
+        out.append(samples.reshape(samples.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+def build_volume_pyramid(volume: jax.Array,
+                         num_levels: int) -> list[jax.Array]:
+    """Pyramid of a ``[B, H, W, D, C]`` volume, pooled along D.
+
+    Parity: models/IGEVStereo/geometry.py:23-26.
+    """
+    pyramid = [volume]
+    for _ in range(num_levels - 1):
+        d = volume.shape[-2] // 2
+        v = volume[..., : d * 2, :]
+        volume = v.reshape(v.shape[:-2] + (d, 2, v.shape[-1])).mean(axis=-2)
+        pyramid.append(volume)
+    return pyramid

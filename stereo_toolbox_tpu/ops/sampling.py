@@ -1,0 +1,134 @@
+"""Bilinear sampling and disparity warping.
+
+Pixel-coordinate bilinear gather with zero padding outside the image, matching
+`torch.nn.functional.grid_sample(..., align_corners=True, padding_mode='zeros')`
+as used by the reference's vendored `bilinear_sampler`
+(models/RAFTStereo/utils/utils.py:59-74). With align_corners=True a pixel
+coordinate maps 1:1 onto the source grid, so we interpolate directly in pixel
+space — no normalized-coordinate round trip.
+
+All functions are channels-last and static-shape (jit/vmap/grad-safe).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def coords_grid(batch: int, height: int, width: int,
+                dtype=jnp.float32) -> jax.Array:
+    """``[B, H, W, 2]`` grid of (x, y) pixel coordinates.
+
+    Parity: models/RAFTStereo/utils/utils.py:77-80 (channel order x then y).
+    """
+    y, x = jnp.meshgrid(jnp.arange(height, dtype=dtype),
+                        jnp.arange(width, dtype=dtype), indexing="ij")
+    grid = jnp.stack([x, y], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, height, width, 2))
+
+
+def bilinear_sampler(img: jax.Array, coords: jax.Array,
+                     return_mask: bool = False):
+    """Sample `img` at real-valued pixel coordinates with zero padding.
+
+    Args:
+      img: ``[B, H, W, C]``.
+      coords: ``[B, h, w, 2]`` (x, y) pixel coordinates into img.
+      return_mask: also return the in-bounds mask (reference `mask=True` path:
+        strictly-inside test, models/RAFTStereo/utils/utils.py:70-72).
+
+    Returns:
+      ``[B, h, w, C]`` samples (and optionally ``[B, h, w]`` float mask).
+    """
+    B, H, W, C = img.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(img.dtype)[..., None]
+    wy = (y - y0).astype(img.dtype)[..., None]
+
+    def gather(xi, yi):
+        inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat = img.reshape(B, H * W, C)
+        idx = yc * W + xc  # [B, h, w]
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        ).reshape(idx.shape + (C,))
+        return vals * inb[..., None].astype(img.dtype)
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+
+    out = ((1 - wx) * (1 - wy) * v00 + wx * (1 - wy) * v01
+           + (1 - wx) * wy * v10 + wx * wy * v11)
+
+    if return_mask:
+        # Reference mask: normalized coords strictly inside (-1, 1), i.e.
+        # strictly inside (0, W-1) x (0, H-1) in pixel space.
+        mask = ((x > 0) & (x < W - 1) & (y > 0) & (y < H - 1))
+        return out, mask.astype(img.dtype)
+    return out
+
+
+def sample_1d(values: jax.Array, x: jax.Array) -> jax.Array:
+    """Linear interpolation along the last axis at real-valued positions.
+
+    Zero padding outside ``[0, N-1]`` (same convention as `bilinear_sampler`
+    with H == 1).
+
+    Args:
+      values: ``[..., N]``.
+      x: ``[..., K]`` positions, broadcast-compatible with values' batch dims.
+
+    Returns:
+      ``[..., K]``.
+    """
+    n = values.shape[-1]
+    batch = jnp.broadcast_shapes(values.shape[:-1], x.shape[:-1])
+    values = jnp.broadcast_to(values, batch + (n,))
+    x = jnp.broadcast_to(x, batch + (x.shape[-1],))
+    x0 = jnp.floor(x)
+    w = (x - x0).astype(values.dtype)
+
+    def gather(xi):
+        inb = (xi >= 0) & (xi <= n - 1)
+        xc = jnp.clip(xi, 0, n - 1).astype(jnp.int32)
+        vals = jnp.take_along_axis(values, xc, axis=-1)
+        return vals * inb.astype(values.dtype)
+
+    return (1 - w) * gather(x0) + w * gather(x0 + 1)
+
+
+def warp_right_to_left(right: jax.Array, disp: jax.Array,
+                       return_mask: bool = False):
+    """Warp the right image to the left view using left-view disparity.
+
+    left_est[b, h, w] = right[b, h, w - disp[b, h, w]]  (bilinear, zeros
+    outside). Parity: loss_functions/photometric_loss.py:5-37 (grid_sample on
+    x - d, align_corners=True) including its validity mask.
+
+    Args:
+      right: ``[B, H, W, C]``.
+      disp: ``[B, H, W]`` non-negative left-view disparity.
+
+    Returns:
+      warped ``[B, H, W, C]`` (and optionally validity mask ``[B, H, W]``).
+    """
+    B, H, W, _ = right.shape
+    grid = coords_grid(B, H, W, dtype=disp.dtype)
+    coords = grid.at[..., 0].add(-disp)
+    out, mask = bilinear_sampler(right, coords, return_mask=True)
+    if return_mask:
+        return out, mask
+    return out
+
+
+# Alias used by MonSter-style "flaw" computation (models/MonSter/warp.py:53).
+disp_warp = warp_right_to_left

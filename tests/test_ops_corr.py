@@ -1,0 +1,63 @@
+"""Tests for all-pairs correlation, pyramids, and windowed lookup."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu.ops import corr as corr_ops
+
+
+def test_all_pairs_correlation():
+    rng = np.random.RandomState(3)
+    f1 = rng.randn(2, 4, 6, 16).astype(np.float32)
+    f2 = rng.randn(2, 4, 7, 16).astype(np.float32)
+    got = np.asarray(corr_ops.all_pairs_correlation(jnp.asarray(f1),
+                                                    jnp.asarray(f2)))
+    want = np.einsum("bhic,bhjc->bhij", f1, f2) / np.sqrt(16.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_corr_pyramid_shapes_and_values():
+    corr = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 1, 1, 16))
+    pyr = corr_ops.build_corr_pyramid(corr, 3)
+    assert [p.shape[-1] for p in pyr] == [16, 8, 4]
+    np.testing.assert_allclose(np.asarray(pyr[1])[0, 0, 0],
+                               [0.5, 2.5, 4.5, 6.5, 8.5, 10.5, 12.5, 14.5])
+
+
+def test_corr_lookup_center():
+    # Single-level pyramid: lookup at integer x returns the ±r window.
+    w2 = 16
+    corr = jnp.asarray(
+        np.arange(w2, dtype=np.float32).reshape(1, 1, 1, w2))
+    x = jnp.asarray(np.array([[[7.0]]], np.float32))
+    out = np.asarray(corr_ops.corr_lookup_1d([corr], x, radius=2))
+    np.testing.assert_allclose(out[0, 0, 0], [5, 6, 7, 8, 9], rtol=1e-6)
+
+
+def test_corr_lookup_multilevel_scaling():
+    w2 = 16
+    base = np.arange(w2, dtype=np.float32).reshape(1, 1, 1, w2)
+    pyr = corr_ops.build_corr_pyramid(jnp.asarray(base), 2)
+    x = jnp.asarray(np.array([[[8.0]]], np.float32))
+    out = np.asarray(corr_ops.corr_lookup_1d(pyr, x, radius=1))
+    # level 0 at x=8: [7, 8, 9]; level 1 at x=4: pooled values [6.5, 8.5, 10.5]
+    np.testing.assert_allclose(out[0, 0, 0], [7, 8, 9, 6.5, 8.5, 10.5],
+                               rtol=1e-6)
+
+
+def test_volume_pyramid_and_lookup():
+    rng = np.random.RandomState(4)
+    vol = rng.randn(1, 2, 3, 8, 4).astype(np.float32)  # [B,H,W,D,C]
+    pyr = corr_ops.build_volume_pyramid(jnp.asarray(vol), 2)
+    assert pyr[0].shape == (1, 2, 3, 8, 4)
+    assert pyr[1].shape == (1, 2, 3, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(pyr[1]),
+        vol.reshape(1, 2, 3, 4, 2, 4).mean(axis=4), rtol=1e-6)
+
+    x = jnp.asarray(np.full((1, 2, 3), 4.0, np.float32))
+    out = np.asarray(corr_ops.volume_lookup_1d(pyr, x, radius=1))
+    # L levels * (2r+1) * C channels
+    assert out.shape == (1, 2, 3, 2 * 3 * 4)
+    # Level 0, dx=0 (window position 1), channels 4:7 -> vol[..., 4, :]
+    np.testing.assert_allclose(out[0, 1, 2, 4:8], vol[0, 1, 2, 4], rtol=1e-6)
