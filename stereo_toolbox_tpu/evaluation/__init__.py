@@ -1,0 +1,214 @@
+"""Evaluation suites: SceneFlow, zero-shot generalization, DrivingStereo
+weather, speed & memory.
+
+Protocol parity (reference evaluation/*.py):
+  * batch 1, valid pixels ``0 < d < maxdisp-1``
+  * metrics accumulated per image then divided by image count
+    (sceneflow_test.py:39-47; generalization_eval.py:44-60 uses per-region
+    image counts)
+  * outlier rates in percent
+  * generalization thresholds [3, 3, 2, 1] px for KITTI15/KITTI12/MiddEval3/
+    ETH3D (generalization_eval.py:13)
+  * speed test: 20 warmup + 100 timed forwards (speed_and_memory_test.py);
+    on TPU, warmup ≡ jit compile and timing uses `block_until_ready`.
+
+Instead of a model object with `.eval()`, suites take ``(apply_fn,
+variables)`` where ``apply_fn(variables, left, right) -> [B, H, W]``; the
+helper `make_apply` builds a jitted one from a linen model. Evaluation pads
+to multiples of 96 in the dataset (eval mode), so compiled shapes are
+bucketed automatically by jit's shape cache.
+
+Each suite can write its metrics into an existing checkpoint directory as
+JSON (the reference's ckpt write-back regression mechanism,
+sceneflow_test.py:49-56) via `write_json`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_toolbox_tpu import metrics as M
+
+
+def make_apply(model) -> Callable:
+    """Jitted eval-mode forward: (variables, left, right) → [B, H, W]."""
+    def fwd(variables, left, right):
+        out = model.apply(variables, left, right, train=False)
+        return out.astype(jnp.float32)
+    return jax.jit(fwd)
+
+
+def _write_back(write_json: str | None, key: str, value) -> None:
+    """Metric write-back / regression compare (sceneflow_test.py:49-56)."""
+    if not write_json:
+        return
+    data = {}
+    if os.path.exists(write_json):
+        with open(write_json) as f:
+            data = json.load(f)
+    if key in data:
+        print(f"original {key} metrics:\n{data[key]}")
+        print(f"current {key} metrics:\n{value}")
+    else:
+        data[key] = np.asarray(value).tolist()
+        with open(write_json, "w") as f:
+            json.dump(data, f, indent=2)
+
+
+def _eval_loop(apply_fn, variables, loader, maxdisp: int,
+               thresholds=(1, 2, 3), progress: str | None = None):
+    """Shared inner loop: per-image EPE + outlier accumulation."""
+    sums = np.zeros(1 + len(thresholds))
+    n_img = 0
+    for data in loader:
+        left = jnp.asarray(data["left"])
+        right = jnp.asarray(data["right"])
+        gt = jnp.asarray(data["gt_disp"])
+        mask = M.valid_mask(gt, maxdisp)
+        valid = int(mask.sum())
+        if valid == 0:
+            continue
+        pred = apply_fn(variables, left, right)
+        res = M.epe_and_outliers(pred, gt, mask, thresholds)
+        sums[0] += float(res["epe"].sum())
+        for i, t in enumerate(thresholds):
+            sums[1 + i] += float(res[f"out_{int(t)}px"].sum()) * 100.0
+        n_img += int(left.shape[0])
+        if progress and n_img % 50 == 0:
+            print(f"{progress}: {n_img} images, EPE "
+                  f"{sums[0] / n_img:.4f}px", flush=True)
+    return sums / max(n_img, 1), n_img
+
+
+def sceneflow_test(apply_fn, variables, loader, maxdisp: int = 192,
+                   write_json: str | None = None, write_key: str = "sceneflow"
+                   ) -> np.ndarray:
+    """SceneFlow finalpass test: [EPE, >1px%, >2px%, >3px%]
+    (evaluation/sceneflow_test.py:13-58)."""
+    result, _ = _eval_loop(apply_fn, variables, loader, maxdisp, (1, 2, 3),
+                           progress="SceneFlow")
+    _write_back(write_json, write_key, result)
+    return result
+
+
+def generalization_eval(apply_fn, variables, loaders: dict,
+                        thresholds: dict | None = None, maxdisp: int = 192,
+                        write_json: str | None = None,
+                        write_key: str = "generalization") -> np.ndarray:
+    """Zero-shot transfer eval with occ/noc decomposition.
+
+    Args:
+      loaders: ordered dict name → loader (canonically kitti2015, kitti2012,
+        middeval3, eth3d).
+      thresholds: name → outlier threshold px; defaults to the reference's
+        [3, 3, 2, 1] by position (generalization_eval.py:13).
+
+    Returns:
+      ``[n_datasets, 4]`` rows [EPE, occ%, noc%, all%]
+      (generalization_eval.py:26-60).
+    """
+    default_t = [3, 3, 2, 1]
+    out = np.zeros((len(loaders), 4))
+    for idx, (name, loader) in enumerate(loaders.items()):
+        t = (thresholds or {}).get(
+            name, default_t[idx] if idx < len(default_t) else 3)
+        sums = np.zeros(4)
+        counts = np.zeros(4)
+        for data in loader:
+            left = jnp.asarray(data["left"])
+            right = jnp.asarray(data["right"])
+            gt = jnp.asarray(data["gt_disp"])
+            noc = jnp.asarray(data["noc_mask"])
+            all_m = M.valid_mask(gt, maxdisp)
+            all_m, noc_m, occ_m = M.occ_noc_split(all_m, noc)
+            pred = apply_fn(variables, left, right)
+            err = jnp.abs(pred - jnp.where(all_m, gt, 0.0))
+            for j, (m, metric) in enumerate((
+                    (all_m, "epe"), (occ_m, "out"), (noc_m, "out"),
+                    (all_m, "out"))):
+                num = int(m.sum())
+                if num == 0:
+                    continue
+                counts[j] += 1
+                if metric == "epe":
+                    sums[j] += float(M.masked_mean(err, m))
+                else:
+                    sums[j] += float(
+                        ((err > t) & m).sum() / num) * 100.0
+        out[idx] = sums / np.maximum(counts, 1)
+        print(f"{name} EPE: {out[idx][0]:.4f}px, OCC: {out[idx][1]:.4f}%, "
+              f"NOC: {out[idx][2]:.4f}%, ALL: {out[idx][3]:.4f}%.")
+    _write_back(write_json, write_key, out)
+    return out
+
+
+def drivingstereo_weather_test(apply_fn, variables, loaders: dict,
+                               threshold: float = 3.0, maxdisp: int = 192,
+                               write_json: str | None = None,
+                               write_key: str = "ds_weather_test"
+                               ) -> np.ndarray:
+    """Per-weather [EPE, >3px%] (evaluation/drivingstereo_weather_test.py)."""
+    out = np.zeros((len(loaders), 2))
+    for idx, (name, loader) in enumerate(loaders.items()):
+        sums, _ = _eval_loop(apply_fn, variables, loader, maxdisp,
+                             (threshold,), progress=name)
+        out[idx] = sums[:2]
+        print(f"DrivingStereo {name}: EPE: {out[idx][0]:.4f}px, "
+              f"Outliers: {out[idx][1]:.4f}%.")
+    _write_back(write_json, write_key, out)
+    return out
+
+
+def count_params(variables) -> tuple[int, int]:
+    """(total, learnable) parameter counts. BatchNorm running stats are the
+    non-learnable share (speed_and_memory_test.py:30-33)."""
+    learnable = sum(int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(
+                        variables.get("params", {})))
+    stats = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(
+                    variables.get("batch_stats", {})))
+    return learnable + stats, learnable
+
+
+def speed_and_memory_test(apply_fn, variables, resolutions=None,
+                          batch_size: int = 1, num_iterations: int = 100,
+                          warmup: int = 20, dtype=jnp.float32):
+    """Per-resolution mean latency (s) and device peak memory (MB).
+
+    Parity: evaluation/speed_and_memory_test.py:11-79 — same default
+    resolution ladder; CUDA events → `block_until_ready` wall timing; peak
+    memory from `device.memory_stats()` when the backend exposes it.
+    """
+    total, learnable = count_params(variables)
+    print(f"Total number of parameters: {total / 1e6:.2f}M")
+    print(f"Learnable parameters: {learnable / 1e6:.2f}M")
+
+    resolutions = resolutions or [(480, 640), (736, 1280), (1088, 1920)]
+    avg_times, avg_memories = [], []
+    for res in resolutions:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (batch_size, *res, 3), dtype)
+        for _ in range(warmup):
+            apply_fn(variables, x, x).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(num_iterations):
+            out = apply_fn(variables, x, x)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / num_iterations
+        avg_times.append(dt)
+        mem = np.nan
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            mem = stats["peak_bytes_in_use"] / 1024 ** 2
+        avg_memories.append(mem)
+        print(f"Resolution: {res}, Avg Time: {dt:.4f} s, "
+              f"Avg Frequency: {1 / dt:.4f} Hz, Peak Memory: {mem:.2f} MB")
+    return resolutions, avg_times, avg_memories
