@@ -14,9 +14,21 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from stereo_toolbox_tpu.models.psmnet import PSMNet
+from stereo_toolbox_tpu.models.gwcnet import GwcNet, GwcNet_G, GwcNet_GC
+from stereo_toolbox_tpu.models.acvnet import ACVNet
+from stereo_toolbox_tpu.models.raft_stereo import RAFTStereo
+from stereo_toolbox_tpu.models.igev_stereo import IGEVStereo
+from stereo_toolbox_tpu.models.selective import SelectiveIGEV, SelectiveRAFT
 
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "PSMNet": PSMNet,
+    "GwcNet_G": GwcNet_G,
+    "GwcNet_GC": GwcNet_GC,
+    "ACVNet": ACVNet,
+    "RAFTStereo": RAFTStereo,
+    "IGEVStereo": IGEVStereo,
+    "SelectiveRAFT": SelectiveRAFT,
+    "SelectiveIGEV": SelectiveIGEV,
 }
 
 

@@ -1,0 +1,290 @@
+"""RAFT-Stereo (3DV'21) — all-pairs correlation + multi-scale ConvGRU loop.
+
+TPU-native re-design of models/RAFTStereo/raft_stereo.py:
+  * fnet (instance-norm) / cnet (batch-norm) encoders at 1/4 resolution
+    (extractor.py:122-306, n_downsample=2);
+  * all-pairs 1D correlation + 4-level pyramid (corr.py:110-156) from the
+    shared op library — the `corr_sampler` CUDA extension's job
+    (corr.py:17-29) is done by `ops.corr_lookup_1d`;
+  * the 22/32-iteration refinement loop is a single `nn.scan` (one compiled
+    GRU step instead of an unrolled graph), with the context-gate biases
+    computed once outside the loop (raft_stereo.py:133);
+  * epipolar projection: the y-component of the flow head is dropped
+    (raft_stereo.py:165), and outputs are sign-flipped to positive-left
+    disparity (raft_stereo.py:182-186);
+  * convex upsampling mask scaled by 0.25 (update.py:136).
+
+Contract: train → list of `iters` full-res disparity maps (the reference's
+`flow_predictions`); eval → final map only. BatchNorm in cnet is frozen
+(reference freeze_bn, raft_stereo.py:64-70).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu import ops
+from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
+from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
+                                         build_corr_pyramid, corr_lookup_1d)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _norm(kind: str, dtype=None):
+    if kind == "instance":
+        return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False,
+                            epsilon=1e-5, dtype=dtype)
+    if kind == "batch":
+        # frozen batch norm (reference freeze_bn): running stats only
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype)
+    if kind == "group":
+        return nn.GroupNorm(num_groups=8, dtype=dtype)
+    return None
+
+
+class RAFTResBlock(nn.Module):
+    """Residual block with selectable norm (extractor.py:6-60)."""
+    features: int
+    norm: str = "instance"
+    strides: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Conv(self.features, (3, 3), strides=self.strides,
+                    padding="SAME", dtype=self.dtype)(x)
+        n = _norm(self.norm, self.dtype)
+        y = nn.relu(n(y) if n else y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(y)
+        n = _norm(self.norm, self.dtype)
+        y = nn.relu(n(y) if n else y)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=self.strides,
+                        dtype=self.dtype)(x)
+            n = _norm(self.norm, self.dtype)
+            x = n(x) if n else x
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """fnet: 7×7 stem + 3 residual stages → 1/4-res features
+    (extractor.py:122-199, downsample=2)."""
+    output_dim: int = 256
+    norm: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(64, (7, 7), padding="SAME", dtype=self.dtype)(x)
+        n = _norm(self.norm, self.dtype)
+        x = nn.relu(n(x) if n else x)
+        for dim, stride in ((64, 1), (96, 2), (128, 2)):
+            x = RAFTResBlock(dim, self.norm, stride, dtype=self.dtype)(x)
+            x = RAFTResBlock(dim, self.norm, 1, dtype=self.dtype)(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)
+
+
+class MultiBasicEncoder(nn.Module):
+    """cnet: shared trunk with (hidden, context) heads at 1/4, 1/8, 1/16
+    (extractor.py:200-306)."""
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    context_dims: Sequence[int] = (128, 128, 128)
+    norm: str = "batch"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        x = nn.Conv(64, (7, 7), padding="SAME", dtype=self.dtype)(x)
+        n = _norm(self.norm, self.dtype)
+        x = nn.relu(n(x) if n else x)
+        for dim, stride in ((64, 1), (96, 2), (128, 2)):
+            x = RAFTResBlock(dim, self.norm, stride, dtype=self.dtype)(x)
+            x = RAFTResBlock(dim, self.norm, 1, dtype=self.dtype)(x)
+
+        outputs = []
+        feat = x  # 1/4
+        for i, (hd, cd) in enumerate(zip(self.hidden_dims[::-1],
+                                         self.context_dims[::-1])):
+            # i=0 → finest (outputs08 ≡ 1/4)
+            if i == 0:
+                h = RAFTResBlock(128, self.norm, 1, dtype=self.dtype)(feat)
+                h = nn.Conv(hd, (3, 3), padding="SAME", dtype=self.dtype)(h)
+                c = RAFTResBlock(128, self.norm, 1, dtype=self.dtype)(feat)
+                c = nn.Conv(cd, (3, 3), padding="SAME", dtype=self.dtype)(c)
+            else:
+                feat = RAFTResBlock(128, self.norm, 2, dtype=self.dtype)(feat)
+                feat = RAFTResBlock(128, self.norm, 1, dtype=self.dtype)(feat)
+                if i == 2:
+                    h = nn.Conv(hd, (3, 3), padding="SAME",
+                                dtype=self.dtype)(feat)
+                    c = nn.Conv(cd, (3, 3), padding="SAME",
+                                dtype=self.dtype)(feat)
+                else:
+                    h = RAFTResBlock(128, self.norm, 1,
+                                     dtype=self.dtype)(feat)
+                    h = nn.Conv(hd, (3, 3), padding="SAME",
+                                dtype=self.dtype)(h)
+                    c = RAFTResBlock(128, self.norm, 1,
+                                     dtype=self.dtype)(feat)
+                    c = nn.Conv(cd, (3, 3), padding="SAME",
+                                dtype=self.dtype)(c)
+            outputs.append((h, c))
+        return outputs  # [(1/4), (1/8), (1/16)]
+
+
+class BasicMotionEncoder(nn.Module):
+    """update.py:65-87: corr + flow → 128-dim motion features."""
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
+        c = nn.relu(nn.Conv(64, (1, 1), dtype=self.dtype)(corr))
+        c = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(c))
+        f = nn.relu(nn.Conv(64, (7, 7), padding="SAME",
+                            dtype=self.dtype)(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(f))
+        out = nn.relu(nn.Conv(126, (3, 3), padding="SAME", dtype=self.dtype)(
+            jnp.concatenate([c, f], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicMultiUpdateBlock(nn.Module):
+    """3-level GRU hierarchy + flow/mask heads (update.py:97-138)."""
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    n_gru_layers: int = 3
+    factor: int = 4
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, nets, contexts, corr, flow):
+        net08, net16, net32 = nets
+        ctx08, ctx16, ctx32 = contexts
+        if self.n_gru_layers == 3:
+            net32 = ConvGRU(self.hidden_dims[0], dtype=self.dtype,
+                            name="gru32")(net32, pool2x(net16), ctx32)
+        if self.n_gru_layers >= 2:
+            x16 = [pool2x(net08)]
+            if self.n_gru_layers > 2:
+                x16.append(ops.interpolate(
+                    net32, net16.shape[1:3], (1, 2), align_corners=True))
+            net16 = ConvGRU(self.hidden_dims[1], dtype=self.dtype,
+                            name="gru16")(net16, jnp.concatenate(x16, -1),
+                                          ctx16)
+        motion = BasicMotionEncoder(dtype=self.dtype,
+                                    name="encoder")(flow, corr)
+        x08 = [motion]
+        if self.n_gru_layers > 1:
+            x08.append(ops.interpolate(net16, net08.shape[1:3], (1, 2),
+                                       align_corners=True))
+        net08 = ConvGRU(self.hidden_dims[2], dtype=self.dtype,
+                        name="gru08")(net08, jnp.concatenate(x08, -1), ctx08)
+
+        d = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="flow_head_1")(net08))
+        delta_flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
+                             name="flow_head_2")(d)
+        m = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="mask_1")(net08))
+        mask = 0.25 * nn.Conv(self.factor ** 2 * 9, (1, 1), dtype=self.dtype,
+                              name="mask_2")(m)
+        return (net08, net16, net32), mask, delta_flow
+
+
+class _RAFTStep(nn.Module):
+    """One scan step of the refinement loop (raft_stereo.py:154-186)."""
+    hidden_dims: Sequence[int]
+    n_gru_layers: int
+    corr_radius: int
+    factor: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, carry, pyramid, contexts, x0):
+        nets, flow_x = carry
+        flow_x = jax.lax.stop_gradient(flow_x)  # coords1.detach() (:155)
+        corr = corr_lookup_1d(pyramid, x0 + flow_x, self.corr_radius)
+        flow = jnp.stack([flow_x, jnp.zeros_like(flow_x)], axis=-1)
+        nets, mask, delta = BasicMultiUpdateBlock(
+            self.hidden_dims, self.n_gru_layers, self.factor,
+            dtype=self.dtype, name="update_block")(
+                nets, contexts, corr, flow)
+        flow_x = flow_x + delta[..., 0]  # epipolar: y-delta dropped (:165)
+        disp_up = ops.convex_upsample(-flow_x.astype(jnp.float32),
+                                      mask.astype(jnp.float32), self.factor)
+        return (nets, flow_x), disp_up
+
+
+class RAFTStereo(nn.Module):
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_downsample: int = 2
+    n_gru_layers: int = 3
+    train_iters: int = 22
+    valid_iters: int = 32
+    imagenet_norm_input: bool = True  # inputs are ImageNet-normalized
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, left: jax.Array, right: jax.Array,
+                 train: bool = False, iters: int | None = None):
+        iters = iters or (self.train_iters if train else self.valid_iters)
+        factor = 2 ** self.n_downsample
+
+        if self.imagenet_norm_input:
+            mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
+            std = jnp.asarray(IMAGENET_STD, left.dtype)
+            img1 = 2.0 * (left * std + mean) - 1.0
+            img2 = 2.0 * (right * std + mean) - 1.0
+        else:
+            img1, img2 = left, right
+
+        cnet_out = MultiBasicEncoder(self.hidden_dims, self.hidden_dims,
+                                     norm="batch", dtype=self.dtype,
+                                     name="cnet")(img1)
+        fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
+        fmap1 = fnet(img1).astype(jnp.float32)
+        fmap2 = fnet(img2).astype(jnp.float32)
+
+        nets = tuple(jnp.tanh(h) for h, _ in cnet_out)
+        # context-gate biases, computed once (raft_stereo.py:133)
+        contexts = []
+        for i, (_, c) in enumerate(cnet_out):
+            c = nn.relu(c)
+            z = nn.Conv(self.hidden_dims[i] * 3, (3, 3), padding="SAME",
+                        dtype=self.dtype, name=f"context_zqr_{i}")(c)
+            contexts.append(tuple(jnp.split(z, 3, axis=-1)))
+        contexts = tuple(contexts)
+
+        corr = all_pairs_correlation(fmap1, fmap2)
+        pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
+
+        b, h4, w4 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+        x0 = jnp.broadcast_to(
+            jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
+        flow_x = jnp.zeros((b, h4, w4), jnp.float32)
+
+        step = nn.scan(
+            _RAFTStep,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=iters,
+        )(self.hidden_dims, self.n_gru_layers, self.corr_radius, factor,
+          dtype=self.dtype, name="step")
+        (nets, flow_x), disp_ups = step((nets, flow_x), pyramid,
+                                        contexts, x0)
+
+        if train:
+            return [disp_ups[i] for i in range(iters)]
+        return disp_ups[-1]

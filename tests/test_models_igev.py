@@ -1,0 +1,70 @@
+"""IGEV-Stereo forward/backward checks (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu.models.igev_stereo import IGEVStereo
+from stereo_toolbox_tpu import losses, metrics
+
+
+def _inputs(b=1, h=64, w=64):
+    # IGEV needs H, W divisible by 32 (3-scale volume hourglass)
+    rng = np.random.RandomState(0)
+    return (jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+            jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)))
+
+
+def test_igev_eval():
+    left, right = _inputs()
+    model = IGEVStereo(max_disp=32, valid_iters=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    pred = model.apply(variables, left, right, train=False,
+                       mutable=["batch_stats"])[0]
+    assert pred.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_igev_train_structure_and_grads():
+    left, right = _inputs()
+    model = IGEVStereo(max_disp=32, train_iters=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    gt = jnp.full((1, 64, 64), 4.0)
+    mask = metrics.valid_mask(gt, 32)
+
+    def loss_fn(p):
+        (init_disp, preds), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            left, right, train=True, mutable=["batch_stats"])
+        assert init_disp.shape == (1, 64, 64)
+        assert len(preds) == 2
+        return losses.sequence_loss(preds, gt, mask, init_disp=init_disp)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(float(jnp.abs(g).max()) > 0 for g in leaves)
+    assert nonzero > len(leaves) * 0.4, f"{nonzero}/{len(leaves)}"
+
+
+def test_selective_raft():
+    from stereo_toolbox_tpu.models import SelectiveRAFT
+    left, right = _inputs(h=32, w=64)
+    model = SelectiveRAFT(valid_iters=2, train_iters=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    pred = model.apply(variables, left, right, train=False)
+    assert pred.shape == (1, 32, 64)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_selective_igev():
+    from stereo_toolbox_tpu.models import SelectiveIGEV
+    left, right = _inputs()
+    model = SelectiveIGEV(max_disp=32, train_iters=2, valid_iters=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    (init_disp, preds), _ = model.apply(
+        variables, left, right, train=True, mutable=["batch_stats"])
+    assert init_disp.shape == (1, 64, 64)
+    assert len(preds) == 2
+    assert np.isfinite(np.asarray(preds[-1])).all()
