@@ -222,8 +222,13 @@ class Trainer:
             n = 0
             running = 0.0
             for batch in loader:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                batch = {k: v for k, v in batch.items()
                          if k in ("left", "right", "gt_disp")}
+                if self.mesh is not None:
+                    from stereo_toolbox_tpu.parallel import shard_batch
+                    batch = shard_batch(batch, self.mesh)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, loss = self.train_step(state, batch)
                 n += 1
                 if n % self.config.log_every == 0:

@@ -1,0 +1,38 @@
+"""Pallas volume-kernel parity vs the XLA reference ops (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stereo_toolbox_tpu import ops
+from stereo_toolbox_tpu.ops.pallas.volume import (build_concat_volume_pallas,
+                                                  build_gwc_volume_pallas)
+
+
+def _feats(b=2, h=8, w=16, c=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)),
+            jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)))
+
+
+def test_gwc_pallas_matches_xla():
+    left, right = _feats()
+    want = np.asarray(ops.build_gwc_volume(left, right, 6, 4))
+    got = np.asarray(build_gwc_volume_pallas(left, right, 6, 4, block_h=4,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gwc_pallas_odd_block():
+    left, right = _feats(b=1, h=6, w=8, c=8)
+    want = np.asarray(ops.build_gwc_volume(left, right, 4, 2))
+    got = np.asarray(build_gwc_volume_pallas(left, right, 4, 2, block_h=8,
+                                             interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_concat_pallas_matches_xla():
+    left, right = _feats(c=8)
+    want = np.asarray(ops.build_concat_volume(left, right, 5))
+    got = np.asarray(build_concat_volume_pallas(left, right, 5, block_h=2,
+                                                interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

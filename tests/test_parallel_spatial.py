@@ -1,0 +1,62 @@
+"""Spatial-sharding tests on the 8-device CPU mesh: sharded results must
+match unsharded ones (the silent-halo-corruption guard, SURVEY §7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereo_toolbox_tpu.parallel import make_mesh, shard_batch
+from stereo_toolbox_tpu.parallel.spatial import (halo_exchange_h,
+                                                 sharded_conv3d_h,
+                                                 spatial_apply)
+
+
+def test_sharded_conv3d_matches_unsharded():
+    mesh = make_mesh(data=1, spatial=8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 6, 16, 12, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 8).astype(np.float32))
+
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = sharded_conv3d_h(x, k, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_halo_exchange_boundaries():
+    mesh = make_mesh(data=1, spatial=8)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(1, 8, 4)
+
+    f = shard_map(lambda b: halo_exchange_h(b, "spatial", 1),
+                  mesh=mesh, in_specs=P(None, "spatial"),
+                  out_specs=P(None, "spatial"))
+    out = np.asarray(f(x))  # local blocks of 1 row → each becomes 3 rows
+    # shard 0's top halo is zeros
+    np.testing.assert_allclose(out[0, 0], 0.0)
+    # shard 0's bottom halo is shard 1's (only) row
+    np.testing.assert_allclose(out[0, 2], np.asarray(x[0, 1]))
+    # last shard's bottom halo is zeros
+    np.testing.assert_allclose(out[0, -1], 0.0)
+
+
+def test_spatial_apply_psmnet_matches_single_device():
+    from stereo_toolbox_tpu.models import PSMNet
+    mesh = make_mesh(data=1, spatial=8)
+    rng = np.random.RandomState(1)
+    left = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    model = PSMNet(max_disp=16)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+
+    def apply_fn(v, l, r):
+        return model.apply(v, l, r, train=False)
+
+    want = np.asarray(jax.jit(apply_fn)(variables, left, right))
+    got = np.asarray(spatial_apply(apply_fn, mesh)(variables, left, right))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
