@@ -19,6 +19,8 @@ from stereo_toolbox_tpu.models.acvnet import ACVNet
 from stereo_toolbox_tpu.models.raft_stereo import RAFTStereo
 from stereo_toolbox_tpu.models.igev_stereo import IGEVStereo
 from stereo_toolbox_tpu.models.selective import SelectiveIGEV, SelectiveRAFT
+from stereo_toolbox_tpu.models.cfnet import CFNet
+from stereo_toolbox_tpu.models.pcwnet import PCWNet, PCWNet_G, PCWNet_GC
 
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "PSMNet": PSMNet,
@@ -29,6 +31,9 @@ MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "IGEVStereo": IGEVStereo,
     "SelectiveRAFT": SelectiveRAFT,
     "SelectiveIGEV": SelectiveIGEV,
+    "CFNet": CFNet,
+    "PCWNet_G": PCWNet_G,
+    "PCWNet_GC": PCWNet_GC,
 }
 
 

@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 
+# Global default for 3D conv lowering; flip to "native" to use XLA's NDHWC
+# path (see tools/bench_kernels.py for the trade-off measurements).
+CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "via2d")
+
+
 def _tuple(k, n: int) -> tuple:
     if isinstance(k, (tuple, list)):
         assert len(k) == n
@@ -66,6 +71,7 @@ class ConvBNAct(nn.Module):
     norm: bool = True
     act: Callable | None = nn.relu
     use_bias: bool | None = None  # default: no bias when normed
+    conv3d_impl: str | None = None  # 'via2d' | 'native' (None → CONV3D_DEFAULT)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -80,9 +86,20 @@ class ConvBNAct(nn.Module):
             p = _tuple(self.padding, n)
         pad = tuple((pp, pp) for pp in p)
         bias = (not self.norm) if self.use_bias is None else self.use_bias
-        x = nn.Conv(self.features, k, strides=s, padding=pad,
-                    kernel_dilation=d, use_bias=bias, dtype=self.dtype,
-                    kernel_init=nn.initializers.he_normal())(x)
+        impl = self.conv3d_impl or CONV3D_DEFAULT
+        if n == 3 and impl == "via2d" and d == (1, 1, 1) and not bias:
+            # 3D conv as kd-fused 2D convs — ~1.5-2x faster than XLA's
+            # native NDHWC path for cost-volume shapes (tools/bench_kernels)
+            from stereo_toolbox_tpu.ops.conv3d import conv3d_via_2d
+            kernel = self.param(
+                "kernel", nn.initializers.he_normal(),
+                k + (x.shape[-1], self.features), jnp.float32)
+            dt = self.dtype or x.dtype
+            x = conv3d_via_2d(x.astype(dt), kernel.astype(dt), s, p)
+        else:
+            x = nn.Conv(self.features, k, strides=s, padding=pad,
+                        kernel_dilation=d, use_bias=bias, dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal())(x)
         if self.norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)

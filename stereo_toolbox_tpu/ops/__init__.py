@@ -29,9 +29,16 @@ from stereo_toolbox_tpu.ops.corr import (
 )
 from stereo_toolbox_tpu.ops.upsample import (
     interpolate,
+    resize_nearest,
     upsample_disp_bilinear,
     convex_upsample,
     context_upsample,
+)
+from stereo_toolbox_tpu.ops.volume import (
+    gather_right_by_samples,
+    concat_volume_from_samples,
+    gwc_volume_from_samples,
+    disparity_variance_confidence,
 )
 
 __all__ = [

@@ -50,7 +50,7 @@ def _gwc_kernel(l_ref, r_ref, out_ref, *, max_disp: int, groups: int):
 
 def build_gwc_volume_pallas(left: jax.Array, right: jax.Array,
                             max_disp: int, groups: int,
-                            block_h: int = 8,
+                            block_h: int = 1,
                             interpret: bool = False) -> jax.Array:
     """Group-wise correlation volume ``[B, D, H, W, G]`` via one fused pass.
 
@@ -95,7 +95,7 @@ def _concat_kernel(l_ref, r_ref, out_ref, *, max_disp: int):
 
 
 def build_concat_volume_pallas(left: jax.Array, right: jax.Array,
-                               max_disp: int, block_h: int = 4,
+                               max_disp: int, block_h: int = 1,
                                interpret: bool = False) -> jax.Array:
     """Concat cost volume ``[B, D, H, W, 2C]`` via one fused pass.
 

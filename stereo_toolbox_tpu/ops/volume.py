@@ -99,9 +99,17 @@ def build_gwc_volume(left: jax.Array, right: jax.Array, max_disp: int,
     Parity: models/GwcNet/submodule.py:53-63. Zero for w < d follows from the
     zero-filled shifted stack.
 
+    On TPU with wide group counts the fused Pallas kernel is used (~2x the
+    XLA path, tools/bench_kernels.py); narrow-group volumes (e.g. IGEV's
+    G=8) stay on XLA where lane padding would dominate the Pallas writes.
+
     Returns:
       ``[B, D, H, W, G]``.
     """
+    if num_groups >= 32 and jax.default_backend() == "tpu":
+        from stereo_toolbox_tpu.ops.pallas.volume import \
+            build_gwc_volume_pallas
+        return build_gwc_volume_pallas(left, right, max_disp, num_groups)
     right_s = shifted_right_stack(right, max_disp)
     return groupwise_correlation(left[:, None], right_s, num_groups)
 
@@ -189,3 +197,68 @@ def disparity_variance(prob: jax.Array, disp: jax.Array) -> jax.Array:
     d = jnp.arange(prob.shape[1], dtype=prob.dtype)[None, :, None, None]
     sq = (d - disp[:, None]) ** 2
     return (prob * sq).sum(axis=1)
+
+
+def gather_right_by_samples(right: jax.Array,
+                            samples: jax.Array) -> jax.Array:
+    """Gather right-image features at integer disparity samples.
+
+    out[b, s, h, w, c] = right[b, h, w - samples[b, s, h, w], c]
+    (zero outside the image). Parity: models/CFNet/submodule.py:303-348
+    (`SpatialTransformer` — integer gather, no interpolation, zero masking).
+
+    Args:
+      right: ``[B, H, W, C]``.
+      samples: ``[B, S, H, W]`` integer-valued disparity samples.
+
+    Returns:
+      ``[B, S, H, W, C]``.
+    """
+    b, h, w, c = right.shape
+    x = jnp.arange(w)[None, None, None, :] - samples.astype(jnp.int32)
+    valid = (x >= 0) & (x <= w - 1)
+    xc = jnp.clip(x, 0, w - 1)
+    gathered = jnp.take_along_axis(right[:, None], xc[..., None], axis=3)
+    return gathered * valid[..., None].astype(right.dtype)
+
+
+def concat_volume_from_samples(left: jax.Array, right: jax.Array,
+                               samples: jax.Array) -> jax.Array:
+    """Concat cost volume over per-pixel disparity samples (CFNet cascade,
+    models/CFNet/cfnet.py:473-499, model='concat').
+
+    Returns ``[B, S, H, W, 2C]``.
+    """
+    s = samples.shape[1]
+    left_b = jnp.broadcast_to(left[:, None],
+                              (left.shape[0], s) + left.shape[1:])
+    right_g = gather_right_by_samples(right, samples)
+    return jnp.concatenate([left_b, right_g], axis=-1)
+
+
+def gwc_volume_from_samples(left: jax.Array, right: jax.Array,
+                            samples: jax.Array, num_groups: int) -> jax.Array:
+    """Group-wise correlation volume over per-pixel disparity samples
+    (models/CFNet/cfnet.py:473-499, model='gwc' +
+    submodule.py:162-168 `groupwise_correlation_4D`).
+
+    Returns ``[B, S, H, W, G]``.
+    """
+    right_g = gather_right_by_samples(right, samples)
+    return groupwise_correlation(left[:, None], right_g, num_groups)
+
+
+def disparity_variance_confidence(prob: jax.Array, samples: jax.Array,
+                                  disp: jax.Array) -> jax.Array:
+    """Variance of a sample-based disparity distribution
+    (models/CFNet/submodule.py:135-139).
+
+    Args:
+      prob: ``[B, S, H, W]`` probabilities over samples.
+      samples: ``[B, S, H, W]`` disparity values.
+      disp: ``[B, H, W]`` regressed disparity.
+
+    Returns:
+      ``[B, H, W]``.
+    """
+    return (prob * (disp[:, None] - samples) ** 2).sum(axis=1)

@@ -68,3 +68,32 @@ def test_selective_igev():
     assert init_disp.shape == (1, 64, 64)
     assert len(preds) == 2
     assert np.isfinite(np.asarray(preds[-1])).all()
+
+
+def test_cfnet():
+    from stereo_toolbox_tpu.models import CFNet
+    left, right = _inputs()
+    model = CFNet(max_disp=32, sample_count_s2=6, sample_count_s3=6)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    pred = model.apply(variables, left, right, train=False,
+                       mutable=["batch_stats"])[0]
+    assert pred.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(pred)).all()
+    out, _ = model.apply(variables, left, right, train=True,
+                         mutable=["batch_stats"])
+    assert len(out) == 9
+    assert all(p.shape == (1, 64, 64) for p in out)
+
+
+def test_pcwnet():
+    from stereo_toolbox_tpu.models import PCWNet_GC
+    left, right = _inputs()
+    model = PCWNet_GC(max_disp=32, refine_radius=6)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    pred = model.apply(variables, left, right, train=False,
+                       mutable=["batch_stats"])[0]
+    assert pred.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(pred)).all()
+    out, _ = model.apply(variables, left, right, train=True,
+                         mutable=["batch_stats"])
+    assert len(out) == 6
