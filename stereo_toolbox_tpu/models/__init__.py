@@ -21,6 +21,7 @@ from stereo_toolbox_tpu.models.igev_stereo import IGEVStereo
 from stereo_toolbox_tpu.models.selective import SelectiveIGEV, SelectiveRAFT
 from stereo_toolbox_tpu.models.cfnet import CFNet
 from stereo_toolbox_tpu.models.pcwnet import PCWNet, PCWNet_G, PCWNet_GC
+from stereo_toolbox_tpu.models.sttr import STTR
 
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "PSMNet": PSMNet,
@@ -34,6 +35,7 @@ MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "CFNet": CFNet,
     "PCWNet_G": PCWNet_G,
     "PCWNet_GC": PCWNet_GC,
+    "STTR": STTR,
 }
 
 

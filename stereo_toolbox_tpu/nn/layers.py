@@ -20,9 +20,12 @@ import jax
 import jax.numpy as jnp
 
 
-# Global default for 3D conv lowering; flip to "native" to use XLA's NDHWC
-# path (see tools/bench_kernels.py for the trade-off measurements).
-CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "via2d")
+# Global default for 3D conv lowering. The kd-fused via2d path wins isolated
+# micro-benchmarks (27.8 vs 15.0 TFLOP/s for the 64->32 cost-volume conv,
+# tools/bench_kernels.py) but loses ~10% on the full PSMNet forward because
+# the explicit D-shift adds break XLA's conv+BN+ReLU fusion — so 'native' is
+# the default until the Pallas conv3d kernel fuses the epilogue.
+CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "native")
 
 
 def _tuple(k, n: int) -> tuple:

@@ -97,3 +97,17 @@ def test_pcwnet():
     out, _ = model.apply(variables, left, right, train=True,
                          mutable=["batch_stats"])
     assert len(out) == 6
+
+
+def test_sttr():
+    from stereo_toolbox_tpu.models import STTR
+    left, right = _inputs(h=48, w=96)
+    model = STTR(num_attn_layers=2, cal_num_blocks=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    pred = model.apply(variables, left, right, train=False,
+                       mutable=["batch_stats"])[0]
+    assert pred.shape == (1, 48, 96)
+    assert np.isfinite(np.asarray(pred)).all()
+    out, _ = model.apply(variables, left, right, train=True,
+                         mutable=["batch_stats"])
+    assert set(out) == {"disp_pred", "occ_pred", "disp_pred_low_res"}
