@@ -22,6 +22,15 @@ from stereo_toolbox_tpu.models.selective import SelectiveIGEV, SelectiveRAFT
 from stereo_toolbox_tpu.models.cfnet import CFNet
 from stereo_toolbox_tpu.models.pcwnet import PCWNet, PCWNet_G, PCWNet_GC
 from stereo_toolbox_tpu.models.sttr import STTR
+from stereo_toolbox_tpu.models.depth_anything_v2 import DepthAnythingV2
+from stereo_toolbox_tpu.models.monster import Monster
+from stereo_toolbox_tpu.models.foundation_stereo import (FoundationStereo,
+                                                         FoundationStereo_S,
+                                                         FoundationStereo_L)
+from stereo_toolbox_tpu.models.stereoanywhere import StereoAnywhere
+from stereo_toolbox_tpu.models.defom_stereo import (DEFOMStereo,
+                                                    DEFOMStereo_S,
+                                                    DEFOMStereo_L)
 
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "PSMNet": PSMNet,
@@ -36,6 +45,13 @@ MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "PCWNet_G": PCWNet_G,
     "PCWNet_GC": PCWNet_GC,
     "STTR": STTR,
+    "DepthAnythingV2": DepthAnythingV2,
+    "DEFOMStereo_S": DEFOMStereo_S,
+    "DEFOMStereo_L": DEFOMStereo_L,
+    "MonSter": Monster,
+    "FoundationStereo_S": FoundationStereo_S,
+    "FoundationStereo_L": FoundationStereo_L,
+    "StereoAnywhere": StereoAnywhere,
 }
 
 

@@ -1,0 +1,221 @@
+"""DepthAnythingV2 — DINOv2 ViT encoder + DPT depth head (flax).
+
+The shared monocular foundation model consumed by the ‡-tier stereo models
+(MonSter, DEFOMStereo, FoundationStereo, StereoAnywhere). The reference
+vendors ~18k LoC of DINOv2/DPT torch code
+(models/depth_anything_v2/dinov2.py, dpt.py, util/blocks.py); this is a
+compact TPU-native reimplementation of the exercised subset:
+
+  * DINOv2 ViT (patch 14, cls token, bicubic pos-embed interpolation,
+    pre-norm blocks with LayerScale) with `get_intermediate_layers`
+    (dinov2.py:44-330);
+  * DPT head: per-tap projection + resize, scratch 3×3 convs, four
+    residual fusion blocks, output convs (dpt.py:38-163,
+    util/blocks.py:29-150);
+  * `DepthAnythingV2.__call__` → relative inverse depth ``[B, H, W]``
+    (dpt.py:309-345), optionally with decoder features.
+
+The reference runs ImageNet-pretrained frozen weights; this environment has
+no network access, so the trunk initializes randomly — architecture parity
+holds, accuracy parity requires importing pretrained weights later (the
+param tree is shaped to make that a straightforward mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+VIT_CONFIGS = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6,
+                 taps=(2, 5, 8, 11), out_channels=(48, 96, 192, 384)),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12,
+                 taps=(2, 5, 8, 11), out_channels=(96, 192, 384, 768)),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16,
+                 taps=(4, 11, 17, 23), out_channels=(256, 512, 1024, 1024)),
+}
+PATCH = 14
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ls1 = self.param("ls1", nn.initializers.constant(1.0), (self.dim,))
+        ls2 = self.param("ls2", nn.initializers.constant(1.0), (self.dim,))
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            dtype=self.dtype)(h, h)
+        x = x + h * ls1
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return x + h * ls2
+
+
+class DINOv2(nn.Module):
+    """Patch-14 ViT returning intermediate (patch_tokens, cls) pairs."""
+    encoder: str = "vitl"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, taps: Sequence[int]):
+        cfg = VIT_CONFIGS[self.encoder]
+        dim = cfg["embed_dim"]
+        b, h, w, _ = x.shape
+        ph, pw = h // PATCH, w // PATCH
+
+        x = nn.Conv(dim, (PATCH, PATCH), strides=(PATCH, PATCH),
+                    padding="VALID", dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = x.reshape(b, ph * pw, dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
+        # pos embed stored at the canonical 37×37 (518/14) grid + cls slot
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02), (1, 37 * 37 + 1, dim))
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (ph, pw) != (37, 37):
+            grid = pos_patch.reshape(1, 37, 37, dim)
+            grid = jax.image.resize(grid, (1, ph, pw, dim), "bicubic")
+            pos_patch = grid.reshape(1, ph * pw, dim)
+        x = x + pos_patch
+        cls_tok = jnp.broadcast_to(cls + pos_cls, (b, 1, dim))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        outputs = []
+        tapset = set(taps)
+        for i in range(cfg["depth"]):
+            x = ViTBlock(dim, cfg["num_heads"], dtype=self.dtype,
+                         name=f"block{i}")(x)
+            if i in tapset:
+                n = nn.LayerNorm(dtype=self.dtype, name=f"tapnorm{i}")(x)
+                outputs.append((n[:, 1:], n[:, 0]))
+        return outputs
+
+
+class ResidualConvUnit(nn.Module):
+    """util/blocks.py:29-80."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(x)
+        h = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(h)
+        return x + h
+
+
+class FeatureFusionBlock(nn.Module):
+    """util/blocks.py:83-150: optional skip + residual units + resize +
+    1×1 out conv."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, skip=None, size=None):
+        from stereo_toolbox_tpu.ops.upsample import interpolate
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, dtype=self.dtype)(skip)
+        x = ResidualConvUnit(self.features, dtype=self.dtype)(x)
+        if size is None:
+            size = (x.shape[1] * 2, x.shape[2] * 2)
+        x = interpolate(x, size, (1, 2), align_corners=True)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+
+
+class DPTHead(nn.Module):
+    """dpt.py:38-163."""
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, tap_features, ph: int, pw: int,
+                 return_path1: bool = False):
+        dt = self.dtype
+        from stereo_toolbox_tpu.ops.upsample import interpolate
+        outs = []
+        resizes = ("up4", "up2", "id", "down2")
+        for i, (tokens, _cls) in enumerate(tap_features):
+            b, n, c = tokens.shape
+            x = tokens.reshape(b, ph, pw, c)
+            x = nn.Conv(self.out_channels[i], (1, 1), dtype=dt,
+                        name=f"project{i}")(x)
+            mode = resizes[i]
+            if mode == "up4":
+                x = nn.ConvTranspose(self.out_channels[i], (4, 4),
+                                     strides=(4, 4), padding="VALID",
+                                     dtype=dt, name=f"resize{i}")(x)
+            elif mode == "up2":
+                x = nn.ConvTranspose(self.out_channels[i], (2, 2),
+                                     strides=(2, 2), padding="VALID",
+                                     dtype=dt, name=f"resize{i}")(x)
+            elif mode == "down2":
+                x = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
+                            padding="SAME", dtype=dt, name=f"resize{i}")(x)
+            outs.append(x)
+
+        rn = [nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                      dtype=dt, name=f"layer{i + 1}_rn")(o)
+              for i, o in enumerate(outs)]
+        l1, l2, l3, l4 = rn
+        p4 = FeatureFusionBlock(self.features, dtype=dt, name="refine4")(
+            l4, size=l3.shape[1:3])
+        p3 = FeatureFusionBlock(self.features, dtype=dt, name="refine3")(
+            p4, l3, size=l2.shape[1:3])
+        p2 = FeatureFusionBlock(self.features, dtype=dt, name="refine2")(
+            p3, l2, size=l1.shape[1:3])
+        p1 = FeatureFusionBlock(self.features, dtype=dt, name="refine1")(
+            p2, l1)
+
+        out = nn.Conv(self.features // 2, (3, 3), padding="SAME", dtype=dt,
+                      name="output_conv1")(p1)
+        out = interpolate(out, (ph * PATCH, pw * PATCH), (1, 2),
+                          align_corners=True)
+        h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            name="output_conv2a")(out))
+        depth = nn.relu(nn.Conv(1, (1, 1), dtype=dt,
+                                name="output_conv2b")(h))
+        if return_path1:
+            return depth[..., 0], {"path_1": p1, "paths": [p4, p3, p2, p1]}
+        return depth[..., 0]
+
+
+class DepthAnythingV2(nn.Module):
+    """Monocular relative-depth model; also exported as a model itself
+    (reference models/__init__.py:11)."""
+    encoder: str = "vits"
+    features: int | None = None  # None → per-encoder default (64/128/256)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_features: bool = False):
+        del train  # ViT+DPT use LayerNorm only — no train-time state
+        cfg = VIT_CONFIGS[self.encoder]
+        features = self.features or {"vits": 64, "vitb": 128,
+                                     "vitl": 256}[self.encoder]
+        ph, pw = x.shape[1] // PATCH, x.shape[2] // PATCH
+        taps = DINOv2(self.encoder, dtype=self.dtype, name="pretrained")(
+            x, cfg["taps"])
+        head = DPTHead(features, cfg["out_channels"], dtype=self.dtype,
+                       name="depth_head")
+        if return_features:
+            depth, feats = head(taps, ph, pw, return_path1=True)
+            feats["taps"] = taps
+            return depth, feats
+        return head(taps, ph, pw)

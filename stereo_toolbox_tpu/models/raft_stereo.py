@@ -158,10 +158,14 @@ class BasicMotionEncoder(nn.Module):
 
 
 class BasicMultiUpdateBlock(nn.Module):
-    """3-level GRU hierarchy + flow/mask heads (update.py:97-138)."""
+    """3-level GRU hierarchy + flow/mask heads (update.py:97-138).
+
+    `flow_channels` sizes the delta head (2 for RAFT's epipolar flow, 1 for
+    DEFOM's plain disparity)."""
     hidden_dims: Sequence[int] = (128, 128, 128)
     n_gru_layers: int = 3
     factor: int = 4
+    flow_channels: int = 2
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -190,8 +194,8 @@ class BasicMultiUpdateBlock(nn.Module):
 
         d = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
                             name="flow_head_1")(net08))
-        delta_flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
-                             name="flow_head_2")(d)
+        delta_flow = nn.Conv(self.flow_channels, (3, 3), padding="SAME",
+                             dtype=self.dtype, name="flow_head_2")(d)
         m = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
                             name="mask_1")(net08))
         mask = 0.25 * nn.Conv(self.factor ** 2 * 9, (1, 1), dtype=self.dtype,

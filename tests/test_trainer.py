@@ -79,3 +79,35 @@ def test_checkpoint_roundtrip(tmp_path):
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scaling_harness_tiny():
+    """Weak-scaling harness runs on the CPU mesh and reports efficiency."""
+    from stereo_toolbox_tpu.evaluation.scaling import measure_scaling
+    from stereo_toolbox_tpu.models import PSMNet
+    config = TrainConfig(lr=1e-4, max_disp=16, loss="multihead")
+    res = measure_scaling(PSMNet(max_disp=16), config,
+                          sample_shape=(32, 32), per_device_batch=1,
+                          steps=2, device_counts=[1, 2])
+    assert set(res) == {1, 2}
+    assert res[2]["efficiency"] > 0
+
+
+def test_find_unused_parameters():
+    from stereo_toolbox_tpu.utils.find_unused_parameters import \
+        find_unused_parameters
+    import flax.linen as fnn
+
+    class Toy(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            used = fnn.Dense(4, name="used")(x)
+            _dead = fnn.Dense(4, name="dead")(x)
+            return used.sum()
+
+    m = Toy()
+    v = m.init(jax.random.PRNGKey(0), jnp.ones((1, 3)))
+    unused = find_unused_parameters(
+        lambda p: m.apply({"params": p}, jnp.ones((1, 3))), v["params"])
+    assert any("dead" in u for u in unused)
+    assert not any("used/" in u and "kernel" in u for u in unused)
