@@ -123,24 +123,26 @@ class PSMNet(nn.Module):
             out2, pre1, post2, train)
         out3 = out3 + cost0
 
-        def classify(x):
-            x = ConvBNAct(32, 3, dtype=self.dtype)(x, train)
-            return nn.Conv(1, (3, 3, 3), use_bias=False,
-                           dtype=self.dtype)(x)
-
-        cost1 = classify(out1)
-        cost2 = classify(out2) + cost1
-        cost3 = classify(out3) + cost2
+        def classify(x, name):
+            x = ConvBNAct(32, 3, dtype=self.dtype,
+                          name=f"{name}_conv")(x, train)
+            return nn.Conv(1, (3, 3, 3), use_bias=False, dtype=self.dtype,
+                           name=f"{name}_out")(x)
 
         def regress(cost_low):
-            # [B, D/4, H/4, W/4, 1] -> full-res soft-argmax
+            # [B, D/4, H/4, W/4, 1] -> full-res soft-argmax (upsample in the
+            # compute dtype; softmax in fp32)
             c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
                                 (1, 2, 3), align_corners=False)
-            c = c.astype(jnp.float32)
-            prob = jax.nn.softmax(c, axis=1)
+            prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)
             return ops.disparity_regression(prob, self.max_disp)
 
-        pred3 = regress(cost3)
         if train:
-            return [regress(cost1), regress(cost2), pred3]
-        return pred3
+            # cascaded heads (stackhourglass.py:134-136)
+            cost1 = classify(out1, "classif1")
+            cost2 = classify(out2, "classif2") + cost1
+            cost3 = classify(out3, "classif3") + cost2
+            return [regress(cost1), regress(cost2), regress(cost3)]
+        # eval computes only the final head, without the cascade adds
+        # (stackhourglass.py:158-161 — classif1/2 are skipped entirely)
+        return regress(classify(out3, "classif3"))
