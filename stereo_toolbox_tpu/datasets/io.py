@@ -1,8 +1,12 @@
 """Dataset IO: manifests, PFM/PNG16/packed-RGB disparity decoders, normalize.
 
 Behavioral parity with reference datasets/utils.py:11-69 plus the per-dataset
-decode rules catalogued in SURVEY.md §2.2. NumPy-only — no accelerator or
-torch dependency in the data path.
+decode rules catalogued in SURVEY.md §2.2. The decode hot path dispatches to
+the native C++ runtime (native/stereo_io.cpp, bound in
+stereo_toolbox_tpu.native) when its shared library is available — libpng /
+libjpeg decode plus fused normalize outside the GIL — and falls back to the
+pure NumPy/PIL implementations below otherwise. Both paths are bit-identical
+(tests/test_native_io.py).
 """
 
 from __future__ import annotations
@@ -12,6 +16,8 @@ import re
 
 import numpy as np
 from PIL import Image
+
+from stereo_toolbox_tpu import native as _native
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -38,6 +44,8 @@ def pfm_imread(filename: str):
     Parity: datasets/utils.py:25-59 (PF/Pf header, endian from scale sign,
     flipud).
     """
+    if _native.available:
+        return _native.decode_pfm(filename)
     with open(filename, "rb") as f:
         header = f.readline().decode("latin-1").rstrip()
         if header not in ("PF", "Pf"):
@@ -57,11 +65,21 @@ def pfm_imread(filename: str):
 
 def load_image_rgb(filename: str) -> np.ndarray:
     """Load an image as HxWx3 uint8 RGB."""
+    if _native.available:
+        try:
+            return _native.decode_rgb(filename)
+        except _native.NativeIOError:
+            pass  # unusual format (e.g. non-PNG/JPEG) → PIL
     return np.asarray(Image.open(filename).convert("RGB"))
 
 
 def load_png_raw(filename: str) -> np.ndarray:
     """Load a PNG preserving bit depth (uint8/uint16 as stored)."""
+    if _native.available:
+        try:
+            return _native.decode_raw(filename)
+        except _native.NativeIOError:
+            pass
     return np.asarray(Image.open(filename))
 
 
@@ -80,7 +98,7 @@ def disp_from_pfm(filename: str, inf_to_zero: bool = False) -> np.ndarray:
 def disp_from_png_scaled(filename: str, divisor: float) -> np.ndarray:
     """uint16/uint8 PNG ÷ divisor (KITTI ÷256, InStereo2k ÷1024,
     CREStereo ÷32; datasets/kitti.py:55-61 etc.)."""
-    return np.asarray(Image.open(filename)).astype(np.float32) / divisor
+    return load_png_raw(filename).astype(np.float32) / divisor
 
 
 def disp_from_rgb_packed(filename: str) -> np.ndarray:
@@ -101,7 +119,7 @@ def disp_from_depth_png(filename: str, numerator: float,
     (FallingThings: 768.16*6*100/depth, datasets/fallingthings.py:54-60;
     VirtualKITTI2: depth/100 then 0.532725*725.0087/depth,
     datasets/virtualkitti2.py:54-62). Zero/invalid depth → 0 disparity."""
-    depth = np.asarray(Image.open(filename)).astype(np.float32) / depth_divisor
+    depth = load_png_raw(filename).astype(np.float32) / depth_divisor
     with np.errstate(divide="ignore", invalid="ignore"):
         disp = np.where(depth > 0, numerator / depth, 0.0)
     return disp.astype(np.float32)
@@ -110,13 +128,13 @@ def disp_from_depth_png(filename: str, numerator: float,
 def noc_from_png_eq(filename: str, value: int = 255) -> np.ndarray:
     """Mask PNG where ==value means non-occluded
     (middleburyeval3.py:67-78, booster.py:62-68)."""
-    return (np.asarray(Image.open(filename)) == value).astype(np.float32)
+    return (load_png_raw(filename) == value).astype(np.float32)
 
 
 def noc_from_disp_png(filename: str, divisor: float = 256.0) -> np.ndarray:
     """KITTI-style: noc = (noc-file disparity > 0)
     (datasets/kitti.py:64-78)."""
-    d = np.asarray(Image.open(filename)).astype(np.float32) / divisor
+    d = load_png_raw(filename).astype(np.float32) / divisor
     return (d > 0).astype(np.float32)
 
 
@@ -130,6 +148,18 @@ def to_float01(img: np.ndarray) -> np.ndarray:
 def imagenet_normalize(img01: np.ndarray) -> np.ndarray:
     """ImageNet mean/std normalize (datasets/utils.py:62-69)."""
     return (img01 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def normalize_u8(img: np.ndarray) -> np.ndarray:
+    """uint8 HxWx3 → ImageNet-normalized float32, fused in one pass.
+
+    Native single-pass kernel when available (sio_normalize_imagenet),
+    identical math to imagenet_normalize(to_float01(img)) otherwise.
+    """
+    if (_native.available and img.dtype == np.uint8 and img.ndim == 3
+            and img.shape[-1] == 3):
+        return _native.imagenet_normalize_u8(img)
+    return imagenet_normalize(to_float01(img))
 
 
 def resolve_root(root_dir: str) -> str:
