@@ -137,12 +137,12 @@ class PSMNet(nn.Module):
             prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)
             return ops.disparity_regression(prob, self.max_disp)
 
+        # cascaded heads run in BOTH modes (stackhourglass.py:134-136); only
+        # the expensive full-res upsample+regression of heads 1/2 is
+        # train-only (:139-149 vs :151-161).
+        cost1 = classify(out1, "classif1")
+        cost2 = classify(out2, "classif2") + cost1
+        cost3 = classify(out3, "classif3") + cost2
         if train:
-            # cascaded heads (stackhourglass.py:134-136)
-            cost1 = classify(out1, "classif1")
-            cost2 = classify(out2, "classif2") + cost1
-            cost3 = classify(out3, "classif3") + cost2
             return [regress(cost1), regress(cost2), regress(cost3)]
-        # eval computes only the final head, without the cascade adds
-        # (stackhourglass.py:158-161 — classif1/2 are skipped entirely)
-        return regress(classify(out3, "classif3"))
+        return regress(cost3)

@@ -77,11 +77,24 @@ def bilinear_sampler(img: jax.Array, coords: jax.Array,
     return out
 
 
-def sample_1d(values: jax.Array, x: jax.Array) -> jax.Array:
+def sample_1d(values: jax.Array, x: jax.Array,
+              method: str = "auto") -> jax.Array:
     """Linear interpolation along the last axis at real-valued positions.
 
     Zero padding outside ``[0, N-1]`` (same convention as `bilinear_sampler`
     with H == 1).
+
+    Two implementations with identical semantics:
+
+    * ``dense``: hat-kernel contraction ``out[.., k] = Σ_d relu(1 - |x - d|)
+      · values[.., d]`` — no gather at all, pure broadcast·multiply·reduce
+      that the TPU VPU vectorizes. O(K·N) FLOPs but gather-free; on TPU this
+      is the corr-lookup fast path (XLA's minor-axis gather is serial and
+      ~100× slower at RAFT shapes — measured 18 ms vs sub-ms per lookup).
+    * ``gather``: two `take_along_axis` reads, O(K). Wins on CPU and for
+      very large N.
+
+    ``auto`` picks dense on TPU for N ≤ 2048, gather otherwise.
 
     Args:
       values: ``[..., N]``.
@@ -91,6 +104,20 @@ def sample_1d(values: jax.Array, x: jax.Array) -> jax.Array:
       ``[..., K]``.
     """
     n = values.shape[-1]
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "dense" if (on_tpu and n <= 2048) else "gather"
+
+    if method == "dense":
+        # weights[.., k, d] = relu(1 - |x_k - d|): exactly linear interp with
+        # zero out-of-range (a position in (-1, 0) puts weight only on d=0,
+        # matching (1-frac)·0 + frac·v[0]; a position ≤ -1 or ≥ N touches
+        # nothing).
+        d = jax.lax.iota(values.dtype, n)
+        wts = jax.nn.relu(1.0 - jnp.abs(x[..., None].astype(values.dtype)
+                                        - d))
+        return jnp.sum(wts * values[..., None, :], axis=-1)
+
     batch = jnp.broadcast_shapes(values.shape[:-1], x.shape[:-1])
     values = jnp.broadcast_to(values, batch + (n,))
     x = jnp.broadcast_to(x, batch + (x.shape[-1],))

@@ -50,3 +50,40 @@ def bench_fn(fn: Callable, args, n1: int = 5, n2: int = 25,
     t1 = min(run(n1) for _ in range(2))
     t2 = min(run(n2) for _ in range(2))
     return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def bench_fn_device_loop(fn: Callable, args, n1: int = 4,
+                         n2: int = 16) -> float:
+    """Seconds per invocation, measured entirely on-device.
+
+    Wraps `fn` in a `lax.fori_loop` whose body feeds a scalar function of the
+    output back into the first argument, so consecutive invocations are
+    data-dependent and cannot be elided, reordered, or deduplicated by the
+    runtime. The loop count is a traced scalar — one compile, two loop sizes,
+    two-point slope. This sidesteps both broken `block_until_ready` and any
+    same-dispatch caching in tunneled backends.
+
+    The first arg of `fn` must be a float array whose values may be perturbed
+    by +0.0·f(output) (true for image inputs).
+    """
+    first, rest = args[0], tuple(args[1:])
+
+    @jax.jit
+    def loop(n, first):
+        def body(_, x):
+            out = fn(x, *rest)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return x + (0.0 * s).astype(x.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, first))
+
+    float(loop(1, first))  # compile + warm
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        float(loop(n, first))
+        return time.perf_counter() - t0
+
+    t1 = min(run(n1) for _ in (0, 1))
+    t2 = min(run(n2) for _ in (0, 1))
+    return max((t2 - t1) / (n2 - n1), 1e-9)

@@ -1,5 +1,6 @@
 """Tests for bilinear sampling / warping vs torch.grid_sample (CPU)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import torch
@@ -69,3 +70,30 @@ def test_coords_grid():
     g = np.asarray(sampling.coords_grid(1, 3, 4))
     assert g.shape == (1, 3, 4, 2)
     np.testing.assert_allclose(g[0, 2, 3], [3.0, 2.0])  # (x, y)
+
+
+def test_sample_1d_dense_matches_gather():
+    """The gather-free hat-kernel path (TPU fast path) must be numerically
+    identical to the take_along_axis path, including out-of-range zeros and
+    gradients."""
+    rng = np.random.RandomState(7)
+    v = jnp.asarray(rng.randn(2, 5, 7, 33).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-3, 36, (2, 5, 7, 9)).astype(np.float32))
+    a = sampling.sample_1d(v, x, method="gather")
+    b = sampling.sample_1d(v, x, method="dense")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # exact edges: -1, -0.5, 0, N-1, N-0.5, N
+    xe = jnp.asarray(
+        np.array([[-1.0, -0.5, 0.0, 32.0, 32.5, 33.0]], np.float32))
+    ve = jnp.asarray(rng.randn(1, 33).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sampling.sample_1d(ve, xe, method="dense")),
+        np.asarray(sampling.sample_1d(ve, xe, method="gather")), atol=1e-6)
+
+    gv_a = jax.grad(lambda v: sampling.sample_1d(v, x, "gather").sum())(v)
+    gv_b = jax.grad(lambda v: sampling.sample_1d(v, x, "dense").sum())(v)
+    np.testing.assert_allclose(np.asarray(gv_a), np.asarray(gv_b), atol=1e-6)
+    gx_a = jax.grad(lambda x: sampling.sample_1d(v, x, "gather").sum())(x)
+    gx_b = jax.grad(lambda x: sampling.sample_1d(v, x, "dense").sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), atol=1e-6)

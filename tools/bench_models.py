@@ -54,15 +54,12 @@ def bench(name: str, hw=(480, 640), iters: int = 30, dtype_str: str = "bf16"):
     out = jax.block_until_ready(fwd(variables, left, right))
     print(f"{name} compile+first {time.time() - t0:.1f}s "
           f"out {out.shape}", flush=True)
-    # warmup
-    for _ in range(5):
-        out = fwd(variables, left, right)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, left, right)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # Chained on-device loop: block_until_ready is unreliable on the
+    # tunneled backend (see utils/timing.py).
+    from stereo_toolbox_tpu.utils.timing import bench_fn_device_loop
+    dt = bench_fn_device_loop(
+        jax.jit(lambda l: model.apply(variables, l, right, train=False)),
+        (left,), n1=4, n2=max(iters // 2, 8))
     base = BASELINE_S.get((name, hw))
     vs = f" vs_4090 {base / dt:5.2f}x" if base else ""
     print(f"{name} {h}x{w}: {dt * 1000:8.2f} ms{vs}", flush=True)
