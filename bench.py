@@ -18,6 +18,11 @@ BASELINE_PSMNET_480x640_S = 0.0396
 
 def main():
     import jax
+    # Persistent compilation cache: the model compiles once per machine; the
+    # driver's end-of-round run then skips the multi-minute remote compile.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from stereo_toolbox_tpu.models import PSMNet
 
