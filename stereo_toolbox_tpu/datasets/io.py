@@ -170,5 +170,6 @@ def resolve_root(root_dir: str) -> str:
     alt = root_dir.replace("/data1", "/data")
     if os.path.exists(alt):
         return alt
-    raise FileNotFoundError(
-        f"Dataset root {root_dir!r} (and fallback {alt!r}) not found")
+    # Like the reference, constructing a dataset with an absent root is fine
+    # (datasets/sceneflow.py:23-28 only swaps prefixes); IO fails at load time.
+    return root_dir

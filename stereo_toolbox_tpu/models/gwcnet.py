@@ -112,9 +112,11 @@ class GwcNet(nn.Module):
         out2 = HourglassRedir(32, dtype=self.dtype)(out1, train)
         out3 = HourglassRedir(32, dtype=self.dtype)(out2, train)
 
-        def classify(x):
-            x = ConvBNAct(32, 3, dtype=self.dtype)(x, train)
-            return nn.Conv(1, (3, 3, 3), use_bias=False, dtype=self.dtype)(x)
+        def classify(x, name):
+            x = ConvBNAct(32, 3, dtype=self.dtype,
+                          name=f"{name}_conv")(x, train)
+            return nn.Conv(1, (3, 3, 3), use_bias=False, dtype=self.dtype,
+                           name=f"{name}_out")(x)
 
         def regress(cost_low):
             c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
@@ -122,10 +124,11 @@ class GwcNet(nn.Module):
             prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)
             return ops.disparity_regression(prob, self.max_disp)
 
-        pred3 = regress(classify(out3))
+        pred3 = regress(classify(out3, "classif3"))
         if train:
-            return [regress(classify(cost0)), regress(classify(out1)),
-                    regress(classify(out2)), pred3]
+            return [regress(classify(cost0, "classif0")),
+                    regress(classify(out1, "classif1")),
+                    regress(classify(out2, "classif2")), pred3]
         return pred3
 
 

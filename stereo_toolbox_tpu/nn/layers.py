@@ -111,12 +111,32 @@ class ConvBNAct(nn.Module):
         return x
 
 
+def torch_transpose_padding(kernel: Sequence[int],
+                            strides: Sequence[int]) -> tuple:
+    """Per-dim (lo, hi) flax ConvTranspose padding matching torch's
+    ``ConvTranspose(k, s, padding=(k-1)//2, output_padding=s+2*((k-1)//2)-k)``
+    — the standard "output is exactly s× the input" configuration (e.g.
+    PSMNet stackhourglass.py:25-29 uses k=3, s=2, p=1, op=1). torch pads the
+    dilated input with ``k-1-p`` low and ``k-1-p+op`` high; flax 'SAME'
+    chooses a different offset (verified off-by-one), so parity requires the
+    explicit asymmetric pads.
+    """
+    pads = []
+    for k, s in zip(kernel, strides):
+        p = (k - 1) // 2
+        op = s + 2 * p - k
+        lo = k - 1 - p
+        pads.append((lo, lo + op))
+    return tuple(pads)
+
+
 class ConvTransposeBN(nn.Module):
     """Stride-2 transpose conv (2D/3D) doubling spatial dims → BatchNorm.
 
     torch-parity target: ``ConvTranspose3d(k=3, s=2, p=1, output_padding=1)``
     (models/PSMNet/stackhourglass.py:25-29) whose output is exactly 2× the
-    input size; linen's `padding='SAME'` transpose has the same size map.
+    input size — realized with `torch_transpose_padding` so imported torch
+    checkpoints are numerically exact.
     """
     features: int
     kernel_size: Sequence[int] | int = 3
@@ -128,8 +148,10 @@ class ConvTransposeBN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = x.ndim - 2
-        x = nn.ConvTranspose(self.features, _tuple(self.kernel_size, n),
-                             strides=_tuple(self.strides, n), padding="SAME",
+        k = _tuple(self.kernel_size, n)
+        s = _tuple(self.strides, n)
+        x = nn.ConvTranspose(self.features, k, strides=s,
+                             padding=torch_transpose_padding(k, s),
                              use_bias=not self.norm, dtype=self.dtype,
                              kernel_init=nn.initializers.he_normal())(x)
         if self.norm:

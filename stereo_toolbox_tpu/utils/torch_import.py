@@ -179,8 +179,74 @@ def convert_psmnet(sd: dict) -> tuple[dict, list]:
     return b.finish()
 
 
+def _convert_res_trunk(b: _Builder, fe: str = "feature_extraction",
+                       layers=(("layer1", 3), ("layer2", 16), ("layer3", 3),
+                               ("layer4", 3))) -> int:
+    """Shared PSMNet/GwcNet residual trunk: firstconv (3× convbn+ReLU) +
+    4 BasicBlock stages (GwcNet gwcnet.py:18-28 ≡ PSMNet submodule.py:62-75).
+    Returns the number of BasicResBlocks consumed."""
+    for i in range(3):
+        b.convbn(f"{fe}/ConvBNAct_{i}",
+                 f"{fe}.firstconv.{2 * i}.0", f"{fe}.firstconv.{2 * i}.1")
+    n = 0
+    for layer, blocks in layers:
+        for blk in range(blocks):
+            t = f"{fe}.{layer}.{blk}"
+            f = f"{fe}/BasicResBlock_{n}"
+            b.convbn(f"{f}/ConvBNAct_0", f"{t}.conv1.0.0", f"{t}.conv1.0.1")
+            b.convbn(f"{f}/ConvBNAct_1", f"{t}.conv2.0", f"{t}.conv2.1")
+            if f"{t}.downsample.0.weight" in b.sd:
+                b.convbn(f"{f}/ConvBNAct_2", f"{t}.downsample.0",
+                         f"{t}.downsample.1")
+            n += 1
+    return n
+
+
+def convert_gwcnet(sd: dict) -> tuple[dict, list]:
+    """Reference GwcNet_G / GwcNet_GC (models/GwcNet/gwcnet.py) → our GwcNet
+    variables. The concat-feature `lastconv` is present only for _GC."""
+    b = _Builder(sd)
+    fe = "feature_extraction"
+    _convert_res_trunk(b, fe)
+    if f"{fe}.lastconv.0.0.weight" in sd:  # GwcNet_GC (gwcnet.py:30-34)
+        b.convbn(f"{fe}/ConvBNAct_3", f"{fe}.lastconv.0.0",
+                 f"{fe}.lastconv.0.1")
+        b.conv(f"{fe}/Conv_0", f"{fe}.lastconv.2")
+
+    # dres0/dres1 (gwcnet.py:124-132)
+    b.convbn("ConvBNAct_0", "dres0.0.0", "dres0.0.1")
+    b.convbn("ConvBNAct_1", "dres0.2.0", "dres0.2.1")
+    b.convbn("ConvBNAct_2", "dres1.0.0", "dres1.0.1")
+    b.convbn("ConvBNAct_3", "dres1.2.0", "dres1.2.1")
+
+    # redirected hourglasses dres2/3/4 (gwcnet.py:68-105)
+    for i, dres in enumerate(("dres2", "dres3", "dres4")):
+        hg = f"HourglassRedir_{i}"
+        b.convbn(f"{hg}/ConvBNAct_0", f"{dres}.conv1.0.0", f"{dres}.conv1.0.1")
+        b.convbn(f"{hg}/ConvBNAct_1", f"{dres}.conv2.0.0", f"{dres}.conv2.0.1")
+        b.convbn(f"{hg}/ConvBNAct_2", f"{dres}.conv3.0.0", f"{dres}.conv3.0.1")
+        b.convbn(f"{hg}/ConvBNAct_3", f"{dres}.conv4.0.0", f"{dres}.conv4.0.1")
+        b.conv_transpose(f"{hg}/ConvTransposeBN_0/ConvTranspose_0",
+                         f"{dres}.conv5.0")
+        b.bn(f"{hg}/ConvTransposeBN_0/BatchNorm_0", f"{dres}.conv5.1")
+        b.conv_transpose(f"{hg}/ConvTransposeBN_1/ConvTranspose_0",
+                         f"{dres}.conv6.0")
+        b.bn(f"{hg}/ConvTransposeBN_1/BatchNorm_0", f"{dres}.conv6.1")
+        b.convbn(f"{hg}/ConvBNAct_4", f"{dres}.redir2.0", f"{dres}.redir2.1")
+        b.convbn(f"{hg}/ConvBNAct_5", f"{dres}.redir1.0", f"{dres}.redir1.1")
+
+    # classif0..classif3 (gwcnet.py:139-154)
+    for i in range(4):
+        b.convbn(f"classif{i}_conv", f"classif{i}.0.0", f"classif{i}.0.1")
+        b.conv(f"classif{i}_out", f"classif{i}.2")
+
+    return b.finish()
+
+
 CONVERTERS = {
     "PSMNet": convert_psmnet,
+    "GwcNet_G": convert_gwcnet,
+    "GwcNet_GC": convert_gwcnet,
 }
 
 

@@ -143,3 +143,68 @@ def test_gen_manifests_sceneflow(sceneflow_root, tmp_path, monkeypatch):
     rows = gm.scan_sceneflow(root, "test_finalpass")
     assert len(rows) == 3
     assert rows[0][2].endswith(".pfm")
+
+
+# ---------------------------------------------------------------------------
+# Vendored manifests: every dataset class constructs out of the box from the
+# packaged lists (reference ships these as datasets_lists/**,
+# datasets/utils.py:11-21). Root dirs need not exist at construction time.
+# ---------------------------------------------------------------------------
+
+VENDORED_CASES = [
+    ("SceneFlow_Dataset", "test_finalpass", 4370),
+    ("SceneFlow_Dataset", "test_cleanpass", 4370),
+    ("KITTI2015_Dataset", "train", 184),
+    ("KITTI2015_Dataset", "val", 16),
+    ("KITTI2015_Dataset", "test", 200),
+    ("KITTI2012_Dataset", "train", 176),
+    ("MiddleburyEval3_Dataset", "trainH", 12),
+    ("ETH3D_Dataset", "train", 22),
+    ("DrivingStereo_Dataset", "test_half_sunny", 100),
+    ("DrivingStereo_Dataset", "test_half", 7751),
+    ("Middlebury2021_Dataset", "train", 24),
+    ("Sintel_Dataset", "train_clean", 1064),
+    ("HR_VS_Dataset", "train", 780),
+    ("Booster_Dataset", "train_balanced", 228),
+    ("InStereo2k_Dataset", "train", 2010),
+    ("Argoverse_Dataset", "train", 4008),
+    ("Holopix50k_Dataset", "train", 41742),
+    ("MonoTrap_Dataset", "val", 26),
+    ("VirtualKITTI2_Dataset", "train", 21260),
+]
+
+
+@pytest.mark.parametrize("cls_name,split,n", VENDORED_CASES)
+def test_vendored_manifest_constructs(cls_name, split, n):
+    from stereo_toolbox_tpu.datasets import zoo
+    ds = getattr(zoo, cls_name)(split=split, training=False,
+                                root_dir="/nonexistent/root")
+    assert len(ds) == n
+
+
+def test_gen_manifests_crestereo_fallingthings(tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_manifests", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "gen_manifests.py"))
+    gm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gm)
+
+    cre = tmp_path / "cre"
+    for i in range(2):
+        _write_png(str(cre / "hole" / f"{i}_left.jpg"), _rgb(64, 64, i))
+        _write_png(str(cre / "hole" / f"{i}_right.jpg"), _rgb(64, 64, i))
+        _write_png(str(cre / "hole" / f"{i}_left.disp.png"),
+                   np.zeros((64, 64), np.uint8))
+    assert len(gm.scan_crestereo(str(cre))) == 2
+
+    fat = tmp_path / "fat"
+    _write_png(str(fat / "a" / "000.left.jpg"), _rgb(64, 64, 0))
+    _write_png(str(fat / "a" / "000.right.jpg"), _rgb(64, 64, 1))
+    _write_png(str(fat / "a" / "000.left.depth.png"),
+               np.zeros((64, 64), np.uint8))
+    rows = gm.scan_fallingthings(str(fat))
+    assert rows == [(os.path.join("a", "000.left.jpg"),
+                     os.path.join("a", "000.right.jpg"),
+                     os.path.join("a", "000.left.depth.png"))]

@@ -1,0 +1,110 @@
+"""Numerical parity: reference (PyTorch) models → torch_import → our models.
+
+For each covered family the test instantiates the *reference* implementation
+from /root/reference with random weights, settles its BatchNorm running stats
+(momentum=1 + one train-mode pass, so eval activations are O(1) and parity is
+not masked by exploding random-init activations), converts the state dict via
+`stereo_toolbox_tpu.utils.torch_import`, and compares the eval-mode disparity
+outputs pixelwise. This is the proof that published reference checkpoints
+(reference README.md:128-227) can be imported and reproduce their Table 1-4
+numbers in this framework.
+
+Skipped when /root/reference or torch is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+try:
+    import torch
+except ImportError:  # pragma: no cover
+    torch = None
+
+from _reference_shim import reference_available
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        torch is None or not reference_available(),
+        reason="reference toolbox / torch not available"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    from _reference_shim import import_reference_models
+    return import_reference_models()
+
+
+def _settle_bn_and_eval(model, *inputs):
+    """momentum=1 + one train pass → running stats = that pass's batch stats;
+    then eval-mode forward."""
+    for mod in model.modules():
+        if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                            torch.nn.BatchNorm3d)):
+            mod.momentum = 1.0
+    model.train()
+    with torch.no_grad():
+        model(*inputs)
+    model.eval()
+    with torch.no_grad():
+        return model(*inputs)
+
+
+def _to_jax_nhwc(t):
+    return np.ascontiguousarray(t.numpy().transpose(0, 2, 3, 1))
+
+
+def _import_and_run(model_name, our_model, sd, x, y):
+    import jax
+    import jax.numpy as jnp
+    from stereo_toolbox_tpu.utils.torch_import import import_torch_checkpoint
+
+    variables = import_torch_checkpoint(model_name, sd)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    pred = jax.jit(
+        lambda v, l, r: our_model.apply(v, l, r, train=False))(
+        variables, jnp.asarray(_to_jax_nhwc(x)), jnp.asarray(_to_jax_nhwc(y)))
+    return np.asarray(pred)
+
+
+def _stereo_pair(h, w, seed=0):
+    torch.manual_seed(seed)
+    x = torch.randn(1, 3, h, w)
+    y = x + 0.05 * torch.randn(1, 3, h, w)
+    return x, y
+
+
+def test_psmnet_parity(ref_models):
+    from stereo_toolbox_tpu.models import PSMNet
+
+    # SPP pools are a fixed 64x64 in the reference (submodule.py:77-95), so
+    # the input must be >=256x512 for train-mode BN to see >1 value/channel.
+    x, y = _stereo_pair(256, 512)
+    m = ref_models.PSMNet(maxdisp=48)
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("PSMNet", PSMNet(max_disp=48), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
+
+
+@pytest.mark.parametrize("variant", ["GwcNet_G", "GwcNet_GC"])
+def test_gwcnet_parity(ref_models, variant):
+    from stereo_toolbox_tpu import models as our
+
+    x, y = _stereo_pair(96, 160, seed=1)
+    m = getattr(ref_models, variant)(48)
+    t = _settle_bn_and_eval(m, x, y).numpy()
+    t = t[0] if t.ndim == 3 else t[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run(variant, getattr(our, variant)(max_disp=48),
+                        sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
