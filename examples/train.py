@@ -32,9 +32,11 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="IGEVStereo")
     p.add_argument("--dataset", default="synthetic",
-                   choices=["synthetic", "sceneflow", "kitti2015",
-                            "kitti2012"])
-    p.add_argument("--split", default="train_finalpass")
+                   help="dataset name, or a '+'-joined mix for multi-dataset "
+                        "training (reference tests/train_accelerate.py:97-107"
+                        "), e.g. sceneflow+sintel+hr_vs+crestereo")
+    p.add_argument("--split", default=None,
+                   help="split name; default: each dataset's train split")
     p.add_argument("--root", default=None)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--batch-size", type=int, default=8)
@@ -54,20 +56,52 @@ def parse_args():
     return p.parse_args()
 
 
-def build_dataset(args):
+# dataset key → (class name, default train split)
+DATASETS = {
+    "sceneflow": ("SceneFlow_Dataset", "train_finalpass"),
+    "kitti2015": ("KITTI2015_Dataset", "train"),
+    "kitti2012": ("KITTI2012_Dataset", "train"),
+    "middleburyeval3": ("MiddleburyEval3_Dataset", "trainH"),
+    "eth3d": ("ETH3D_Dataset", "train"),
+    "drivingstereo": ("DrivingStereo_Dataset", "train_half"),
+    "middlebury2021": ("Middlebury2021_Dataset", "train"),
+    "sintel": ("Sintel_Dataset", "train_final"),
+    "hr_vs": ("HR_VS_Dataset", "train"),
+    "booster": ("Booster_Dataset", "train_balanced"),
+    "instereo2k": ("InStereo2k_Dataset", "train"),
+    "crestereo": ("CREStereo_Dataset", "train"),
+    "argoverse": ("Argoverse_Dataset", "train"),
+    "holopix50k": ("Holopix50k_Dataset", "train"),
+    "fallingthings": ("FallingThings_Dataset", "train"),
+    "virtualkitti2": ("VirtualKITTI2_Dataset", "train"),
+}
+
+
+def _build_one(name, args):
     from stereo_toolbox_tpu import datasets as D
-    if args.dataset == "synthetic":
+    if name == "synthetic":
         return D.SyntheticStereoDataset(
             num_samples=64, height=args.crop[0] + 64,
             width=args.crop[1] + 64, max_disp=min(args.maxdisp, 96),
             training=True, crop_size=tuple(args.crop), seed=args.seed)
-    cls = {"sceneflow": D.SceneFlow_Dataset,
-           "kitti2015": D.KITTI2015_Dataset,
-           "kitti2012": D.KITTI2012_Dataset}[args.dataset]
+    if name not in DATASETS:
+        raise SystemExit(f"unknown dataset {name!r}; have "
+                         f"{['synthetic'] + sorted(DATASETS)}")
+    cls_name, default_split = DATASETS[name]
     kw = {"crop_size": tuple(args.crop), "seed": args.seed}
     if args.root:
         kw["root_dir"] = args.root
-    return cls(args.split, training=True, **kw)
+    return getattr(D, cls_name)(args.split or default_split, training=True,
+                                **kw)
+
+
+def build_dataset(args):
+    """Single dataset, or a '+'-joined ConcatDataset mix (the reference's
+    SceneFlow+Sintel+HR-VS+CREStereo recipe, train_accelerate.py:97-107)."""
+    from stereo_toolbox_tpu.datasets import ConcatDataset
+    names = args.dataset.split("+")
+    parts = [_build_one(n, args) for n in names]
+    return parts[0] if len(parts) == 1 else ConcatDataset(parts)
 
 
 def main():
@@ -116,13 +150,16 @@ def main():
     trainer = Trainer(model, config, mesh=mesh)
     start_epoch = 0
     if args.resume:
-        state, start_epoch = trainer.load_checkpoint(state, args.resume)
-        print(f"resumed from {args.resume} at epoch {start_epoch}")
+        state, last_epoch = trainer.load_checkpoint(state, args.resume)
+        start_epoch = last_epoch + 1
+        print(f"resumed from {args.resume}: last completed epoch "
+              f"{last_epoch}, continuing at {start_epoch}")
 
     print(f"training {args.model} on {args.dataset}: "
           f"{len(loader)} steps/epoch x {args.epochs} epochs on "
           f"{jax.device_count()} devices")
-    trainer.train(state, loader, epochs=args.epochs)
+    trainer.train(state, loader, epochs=args.epochs,
+                  start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

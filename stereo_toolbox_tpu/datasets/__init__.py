@@ -7,7 +7,8 @@ and `DataLoader`.
 
 from stereo_toolbox_tpu.datasets.base import (StereoDataset,
                                               SyntheticStereoDataset)
-from stereo_toolbox_tpu.datasets.loader import DataLoader, collate
+from stereo_toolbox_tpu.datasets.loader import (ConcatDataset, DataLoader,
+                                                collate)
 from stereo_toolbox_tpu.datasets.zoo import (
     SceneFlow_Dataset,
     KITTI2015_Dataset,

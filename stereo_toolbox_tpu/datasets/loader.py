@@ -22,6 +22,35 @@ from typing import Iterator
 import numpy as np
 
 
+class ConcatDataset:
+    """Concatenation of map-style datasets (the reference's multi-dataset
+    mixed training, tests/train_accelerate.py:97-107: ConcatDataset of
+    SceneFlow + Sintel + HR-VS + CREStereo).
+
+    All member datasets must yield compatible sample dicts (same crop size
+    in training). `set_epoch` is forwarded to every member.
+    """
+
+    def __init__(self, datasets: list):
+        assert datasets, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int):
+        if index < 0:
+            index += len(self)
+        k = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return self.datasets[k][index - int(self._offsets[k])]
+
+
 def collate(samples: list[dict]) -> dict[str, np.ndarray]:
     out = {}
     for key in samples[0]:

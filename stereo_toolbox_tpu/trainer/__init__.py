@@ -214,9 +214,13 @@ class Trainer:
 
     # -- the loop --------------------------------------------------------
     def train(self, state: TrainState, loader, epochs: int | None = None,
-              log: Callable[[str], None] = print):
+              start_epoch: int = 0, log: Callable[[str], None] = print):
+        """Run epochs ``[start_epoch, epochs)``. Pass the epoch returned by
+        `load_checkpoint` + 1 as `start_epoch` to resume — epoch-granular,
+        like the reference (trainer_torchrun.py:182-212, which restores
+        `start_epoch = checkpoint['epoch'] + 1`)."""
         epochs = epochs or self.config.epochs
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
             n = 0
