@@ -53,6 +53,11 @@ def parse_args():
     p.add_argument("--num-workers", type=int, default=16)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
+    p.add_argument("--log-dir", default=None,
+                   help="TensorBoard/JSONL scalar directory")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of one warm train step "
+                        "into <log-dir>/profile")
     return p.parse_args()
 
 
@@ -130,6 +135,7 @@ def main():
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         clip_grad=args.clip_grad, max_disp=args.maxdisp, seed=args.seed,
         ckpt_dir=args.ckpt_dir, save_every=args.save_every,
+        log_dir=args.log_dir,
         loss="sequence" if iterative else "multihead",
         loss_weights={"PSMNet": (0.5, 0.7, 1.0),
                       "ACVNet": (0.5, 0.5, 0.7, 1.0)}.get(
@@ -146,8 +152,23 @@ def main():
     sample = next(iter(loader))
     state = init_train_state(model, config, sample, total_steps)
 
+    from stereo_toolbox_tpu.trainer import make_optimizer
+    _, lr_schedule = make_optimizer(config, total_steps)
     mesh = make_mesh(spatial=1)
-    trainer = Trainer(model, config, mesh=mesh)
+    trainer = Trainer(model, config, mesh=mesh, lr_schedule=lr_schedule)
+
+    if args.profile:
+        # one warm step (compile outside the trace), then one traced step
+        from stereo_toolbox_tpu.utils.observability import profile_trace
+        batch = {k: v for k, v in sample.items()
+                 if k in ("left", "right", "gt_disp")}
+        batch = shard_batch(batch, mesh)
+        state, _ = trainer.train_step(state, batch)
+        prof_dir = os.path.join(args.log_dir or "runs", "profile")
+        with profile_trace(prof_dir):
+            state, loss = trainer.train_step(state, batch)
+            jax.block_until_ready(loss)
+        print(f"profiler trace written to {prof_dir}")
     start_epoch = 0
     if args.resume:
         state, last_epoch = trainer.load_checkpoint(state, args.resume)

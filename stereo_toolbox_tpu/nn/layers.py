@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 
 
-# Global default for 3D conv lowering. The kd-fused via2d path wins isolated
-# micro-benchmarks (27.8 vs 15.0 TFLOP/s for the 64->32 cost-volume conv,
-# tools/bench_kernels.py) but loses ~10% on the full PSMNet forward because
-# the explicit D-shift adds break XLA's conv+BN+ReLU fusion — so 'native' is
-# the default until the Pallas conv3d kernel fuses the epilogue.
-CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "native")
+# Global default for 3D conv lowering. 'auto' picks per shape from real-chip
+# microbenchmarks (epilogue included, /tmp-protocol recorded in
+# tools/bench_kernels.py): narrow-output convs (Co<=32) run ~1.7x faster as
+# kd-fused 2D convs (N = kd*Co = 96 MXU columns vs 32 → 29.3 vs 17.3 TF/s at
+# 64->32, 19.6 vs 11.8 at 32->32 on the 48x120x160 volume), while Co=64
+# shapes favor XLA's native NDHWC path (47.2 vs 38.6 TF/s at 24x60x80).
+CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "auto")
 
 
 def _tuple(k, n: int) -> tuple:
@@ -90,6 +91,8 @@ class ConvBNAct(nn.Module):
         pad = tuple((pp, pp) for pp in p)
         bias = (not self.norm) if self.use_bias is None else self.use_bias
         impl = self.conv3d_impl or CONV3D_DEFAULT
+        if impl == "auto":
+            impl = "via2d" if self.features <= 32 else "native"
         if n == 3 and impl == "via2d" and d == (1, 1, 1) and not bias:
             # 3D conv as kd-fused 2D convs — ~1.5-2x faster than XLA's
             # native NDHWC path for cost-volume shapes (tools/bench_kernels)

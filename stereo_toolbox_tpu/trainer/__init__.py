@@ -60,6 +60,7 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     save_every: int = 1           # epochs
     log_every: int = 50           # steps
+    log_dir: str | None = None    # TensorBoard/JSONL scalar directory
 
 
 class TrainState(struct.PyTreeNode):
@@ -181,11 +182,15 @@ class Trainer:
     """Epoch-driven training loop (reference Trainer.train,
     trainer_torchrun.py:215-261)."""
 
-    def __init__(self, model, config: TrainConfig, mesh=None):
+    def __init__(self, model, config: TrainConfig, mesh=None,
+                 lr_schedule: Callable | None = None):
         self.model = model
         self.config = config
         self.mesh = mesh
         self.train_step = make_train_step(model, config, mesh=mesh)
+        self.lr_schedule = lr_schedule
+        from stereo_toolbox_tpu.utils.observability import ScalarWriter
+        self.writer = ScalarWriter(config.log_dir)
         self._losses: list[float] = []
 
     # -- checkpointing ---------------------------------------------------
@@ -237,10 +242,18 @@ class Trainer:
                 n += 1
                 if n % self.config.log_every == 0:
                     running = float(loss)
+                    step = int(state.step)
+                    scalars = {"train/loss": running, "train/epoch": epoch,
+                               "perf/steps_per_s": n / max(time.time() - t0,
+                                                           1e-9)}
+                    if self.lr_schedule is not None:
+                        scalars["train/lr"] = float(self.lr_schedule(step - 1))
+                    self.writer.scalars(step, **scalars)
                     log(f"epoch {epoch} step {n}: loss {running:.4f}")
             dt = time.time() - t0
             log(f"epoch {epoch} done: {n} steps in {dt:.1f}s "
                 f"({n / max(dt, 1e-9):.2f} it/s)")
+            self.writer.flush()
             if (epoch + 1) % self.config.save_every == 0:
                 self.save_checkpoint(state, epoch)
         return state
