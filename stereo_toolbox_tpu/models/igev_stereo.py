@@ -168,15 +168,18 @@ class _IGEVStep(nn.Module):
 
 def combined_geo_lookup(geo_pyr, corr_pyr, disp, x0, radius):
     """Combined GEV + corr windowed lookup (geometry.py:35-59): per level,
-    geo volume at disp/2^i ± dx and init corr at (x - disp)/2^i ± dx."""
+    geo volume at disp/2^i ± dx and init corr at (x - disp)/2^i ± dx.
+
+    Channel layout parity: the reference flattens the geo samples
+    channel-major, window-minor (geometry.py:48-49: ``[bhw, c, 1, K]``
+    → ``view(b, h, w, -1)``)."""
     out = []
     for i, (gv, cv) in enumerate(zip(geo_pyr, corr_pyr)):
         dx = jnp.arange(-radius, radius + 1, dtype=disp.dtype)
         pos_d = disp[..., None] / (2.0 ** i) + dx
         v = jnp.moveaxis(gv, -1, -2)  # [B,H,W,C,D_i]
         g = sample_1d(v, pos_d[..., None, :])  # [B,H,W,C,K]
-        g = jnp.swapaxes(g, -1, -2).reshape(g.shape[:3] + (-1,))
-        out.append(g)
+        out.append(g.reshape(g.shape[:3] + (-1,)))  # C-major, K-minor
         pos_c = (x0 - disp)[..., None] / (2.0 ** i) + dx
         out.append(sample_1d(cv, pos_c))
     return jnp.concatenate(out, axis=-1)
@@ -272,7 +275,8 @@ class IGEVStereo(nn.Module):
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)  # [B,H,W,D,8]
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
         corr = all_pairs_correlation(match_left.astype(jnp.float32),
-                                     match_right.astype(jnp.float32))
+                                     match_right.astype(jnp.float32),
+                                     normalize=False)
         corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
 
         b, h4, w4 = match_left.shape[0], match_left.shape[1], \
@@ -296,7 +300,14 @@ class IGEVStereo(nn.Module):
             return disp_ups[-1]
 
         # init-disp superpixel upsample (train only, igev_stereo.py:217-221)
+        # spx_4 is Sequential(BasicConv_IN, Conv, IN, ReLU)
+        # (igev_stereo.py:136-140)
         xspx = BasicConvIN(24, 3, 1, dtype=self.dtype, name="spx_4")(fl0)
+        xspx = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                       dtype=self.dtype, name="spx_4b")(xspx)
+        xspx = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                            use_scale=False, name="spx_4n")(xspx)
+        xspx = nn.relu(xspx)
         xspx = Conv2x(32, deconv=True, instance_norm=True, dtype=self.dtype,
                       name="spx_2")(xspx, stem_2x)
         spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",

@@ -400,8 +400,10 @@ class Monster(nn.Module):
 
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
+        # IGEV-style corr is unnormalized (MonSter/geometry.py:60-68)
         corr = all_pairs_correlation(match_left.astype(jnp.float32),
-                                     match_right.astype(jnp.float32))
+                                     match_right.astype(jnp.float32),
+                                     normalize=False)
         corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))

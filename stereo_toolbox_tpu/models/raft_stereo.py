@@ -59,17 +59,20 @@ class RAFTResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # torch-parity: explicit symmetric padding=1 — flax "SAME" places the
+        # pad asymmetrically (lo=0, hi=1) for stride-2 on even inputs, which
+        # shifts every downsampled feature map by one pixel vs the reference.
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
-                    padding="SAME", dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), dtype=self.dtype)(x)
         n = _norm(self.norm, self.dtype)
         y = nn.relu(n(y) if n else y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME",
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype)(y)
         n = _norm(self.norm, self.dtype)
         y = nn.relu(n(y) if n else y)
         if self.strides != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), strides=self.strides,
-                        dtype=self.dtype)(x)
+                        padding=((0, 0), (0, 0)), dtype=self.dtype)(x)
             n = _norm(self.norm, self.dtype)
             x = n(x) if n else x
         return nn.relu(x + y)

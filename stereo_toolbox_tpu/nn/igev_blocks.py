@@ -145,8 +145,10 @@ class InvertedResidual(nn.Module):
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=self.dtype)(h)
             h = jnp.clip(h, 0, 6)  # ReLU6
+        # explicit symmetric padding: timm pads 1 both sides; flax "SAME"
+        # would pad (0, 1) for stride 2, shifting the grid by one pixel
         h = nn.Conv(h.shape[-1], (3, 3), strides=self.strides,
-                    padding="SAME", feature_group_count=h.shape[-1],
+                    padding=((1, 1), (1, 1)), feature_group_count=h.shape[-1],
                     use_bias=False, dtype=self.dtype)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(h)
@@ -168,8 +170,8 @@ class MobileNetV2Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        x = nn.Conv(32, (3, 3), strides=2, padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
+        x = nn.Conv(32, (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = jnp.clip(x, 0, 6)

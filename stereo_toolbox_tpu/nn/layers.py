@@ -20,12 +20,13 @@ import jax
 import jax.numpy as jnp
 
 
-# Global default for 3D conv lowering. 'auto' picks per shape from real-chip
-# microbenchmarks (epilogue included, /tmp-protocol recorded in
-# tools/bench_kernels.py): narrow-output convs (Co<=32) run ~1.7x faster as
-# kd-fused 2D convs (N = kd*Co = 96 MXU columns vs 32 → 29.3 vs 17.3 TF/s at
-# 64->32, 19.6 vs 11.8 at 32->32 on the 48x120x160 volume), while Co=64
-# shapes favor XLA's native NDHWC path (47.2 vs 38.6 TF/s at 24x60x80).
+# Global default for 3D conv lowering: 'native' (XLA NDHWC conv),
+# 'via2d' (kd-folded 2D conv, ops/conv3d.py), 'fused' (Pallas conv+BN+ReLU
+# eval kernel, ops/pallas/conv3d_fused.py, TPU eval path only), or 'auto'.
+# The param tree is IDENTICAL for every impl (Conv_0/kernel [+ BatchNorm_0])
+# — the impl is chosen at apply time, so checkpoints are portable across
+# settings. 'auto' = fused on the TPU eval path where eligible, else native
+# (chosen from end-to-end PSMNet latency on the chip, see BENCH_KERNELS.md).
 CONV3D_DEFAULT = __import__("os").environ.get("STTPU_CONV3D", "auto")
 
 
@@ -61,11 +62,97 @@ def max_pool(x: jax.Array, window, stride=None, padding="VALID") -> jax.Array:
                                  padding)
 
 
+class Conv3dFlex(nn.Module):
+    """3D convolution whose param tree is byte-identical to ``nn.Conv``
+    (``kernel`` [+ ``bias``]) but whose lowering is selected at APPLY time:
+
+      * ``'native'`` — XLA's NDHWC ``conv_general_dilated``
+      * ``'via2d'``  — kd-folded 2D conv (ops/conv3d.py), faster for
+        narrow-output (Co≤32) cost-volume shapes
+
+    Because the params do not depend on the impl, checkpoints and torch
+    imports are portable across impl settings (round-2 regression fix).
+    ``__call__(x, raw=True)`` registers and returns ``(kernel, bias)``
+    without computing — the fused Pallas eval path uses this.
+    """
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (1, 1, 1)  # symmetric pixels per spatial dim
+    dilation: Sequence[int] = (1, 1, 1)
+    use_bias: bool = False
+    impl: str = "native"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, raw: bool = False):
+        k = tuple(self.kernel_size)
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            k + (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if raw:
+            return kernel, bias
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        if self.impl == "via2d" and tuple(self.dilation) == (1, 1, 1):
+            from stereo_toolbox_tpu.ops.conv3d import conv3d_via_2d
+            y = conv3d_via_2d(x, kernel, tuple(self.strides),
+                              tuple(self.padding))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, tuple(self.strides),
+                tuple((p, p) for p in self.padding),
+                rhs_dilation=tuple(self.dilation),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class BNAffine(nn.Module):
+    """Registers BatchNorm-compatible variables (params ``scale``/``bias``,
+    batch_stats ``mean``/``var`` — same names, shapes and inits as
+    ``nn.BatchNorm``) and returns them raw instead of normalizing.
+
+    Used by the fused eval path to fold eval-mode BN into the Pallas conv
+    epilogue while keeping the checkpoint layout identical to the
+    ``nn.BatchNorm`` the train path uses under the same ``BatchNorm_0`` scope.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (self.features,)
+        mean = self.variable("batch_stats", "mean",
+                             lambda s: jnp.zeros(s, jnp.float32), shape)
+        var = self.variable("batch_stats", "var",
+                            lambda s: jnp.ones(s, jnp.float32), shape)
+        scale = self.param("scale", nn.initializers.ones_init(), shape,
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), shape,
+                          jnp.float32)
+        return mean.value, var.value, scale, bias
+
+
+def _fused_eval_ok() -> bool:
+    """The Pallas fused kernel only runs on a real TPU backend."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 class ConvBNAct(nn.Module):
     """Conv (2D or 3D by kernel rank) → optional BatchNorm → optional act.
 
     torch-parity padding: explicit symmetric `padding` pixels per spatial dim
     (`dilation if dilation > 1 else pad` convention is the caller's concern).
+
+    3D convs create params under an explicit ``Conv_0`` scope via `Conv3dFlex`
+    so the tree never depends on the lowering choice (`conv3d_impl` /
+    ``STTPU_CONV3D``: 'native' | 'via2d' | 'fused' | 'auto').
     """
     features: int
     kernel_size: Sequence[int] | int = 3
@@ -75,7 +162,7 @@ class ConvBNAct(nn.Module):
     norm: bool = True
     act: Callable | None = nn.relu
     use_bias: bool | None = None  # default: no bias when normed
-    conv3d_impl: str | None = None  # 'via2d' | 'native' (None → CONV3D_DEFAULT)
+    conv3d_impl: str | None = None  # None → CONV3D_DEFAULT
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -90,22 +177,44 @@ class ConvBNAct(nn.Module):
             p = _tuple(self.padding, n)
         pad = tuple((pp, pp) for pp in p)
         bias = (not self.norm) if self.use_bias is None else self.use_bias
-        impl = self.conv3d_impl or CONV3D_DEFAULT
-        if impl == "auto":
-            impl = "via2d" if self.features <= 32 else "native"
-        if n == 3 and impl == "via2d" and d == (1, 1, 1) and not bias:
-            # 3D conv as kd-fused 2D convs — ~1.5-2x faster than XLA's
-            # native NDHWC path for cost-volume shapes (tools/bench_kernels)
-            from stereo_toolbox_tpu.ops.conv3d import conv3d_via_2d
-            kernel = self.param(
-                "kernel", nn.initializers.he_normal(),
-                k + (x.shape[-1], self.features), jnp.float32)
-            dt = self.dtype or x.dtype
-            x = conv3d_via_2d(x.astype(dt), kernel.astype(dt), s, p)
-        else:
+
+        if n != 3:
             x = nn.Conv(self.features, k, strides=s, padding=pad,
                         kernel_dilation=d, use_bias=bias, dtype=self.dtype,
                         kernel_init=nn.initializers.he_normal())(x)
+        else:
+            impl = self.conv3d_impl or CONV3D_DEFAULT
+            fusible = (not train and self.norm and not bias
+                       and k == (3, 3, 3) and s == (1, 1, 1)
+                       and d == (1, 1, 1) and _fused_eval_ok())
+            if impl == "auto":
+                # measured end-to-end on the chip (tools/bench_e2e.py,
+                # PSMNet 480x640 bf16): native 42.4ms, via2d 50.7ms,
+                # fused 72.4ms — XLA's native NDHWC path wins until the
+                # Pallas fused kernel is faster per-shape.
+                impl = "native"
+            conv = Conv3dFlex(self.features, k, s, p, d, use_bias=bias,
+                              impl="via2d" if impl == "via2d" else "native",
+                              dtype=self.dtype, name="Conv_0")
+            if impl == "fused" and fusible:
+                # Eval-path fusion: conv + BN affine (+ReLU) in one Pallas
+                # kernel (ops/pallas/conv3d_fused.py). Same param tree as
+                # the unfused path — BNAffine registers nn.BatchNorm's
+                # variables under the same BatchNorm_0 scope.
+                from stereo_toolbox_tpu.ops.pallas.conv3d_fused import \
+                    conv3d_fused
+                kernel, _ = conv(x, raw=True)
+                mean, var, scale, beta = BNAffine(
+                    self.features, name="BatchNorm_0")()
+                sc = scale * jax.lax.rsqrt(var + 1e-5)
+                dt = self.dtype or x.dtype
+                y = conv3d_fused(x.astype(dt), kernel.astype(dt), sc,
+                                 beta - mean * sc,
+                                 relu=self.act is nn.relu)
+                if self.act is not None and self.act is not nn.relu:
+                    y = self.act(y)
+                return y
+            x = conv(x)
         if self.norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)

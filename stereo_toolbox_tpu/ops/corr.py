@@ -24,11 +24,14 @@ import jax.numpy as jnp
 from stereo_toolbox_tpu.ops.sampling import sample_1d
 
 
-def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
-    """Per-row all-pairs correlation, scaled by 1/sqrt(C).
+def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array,
+                          normalize: bool = True) -> jax.Array:
+    """Per-row all-pairs correlation, optionally scaled by 1/sqrt(C).
 
     Parity: models/RAFTStereo/corr.py:148-156 (`CorrBlock1D.corr`):
     ``einsum('aijk,aijh->ajkh') / sqrt(D)`` in NCHW == this in NHWC.
+    IGEV's variant (models/IGEVStereo/geometry.py:63-70) does NOT normalize
+    — pass ``normalize=False`` there.
 
     Args:
       fmap1: ``[B, H, W1, C]`` left features.
@@ -40,7 +43,9 @@ def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
     c = fmap1.shape[-1]
     corr = jnp.einsum("bhic,bhjc->bhij", fmap1, fmap2,
                       preferred_element_type=jnp.float32)
-    return corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    if normalize:
+        corr = corr / jnp.sqrt(jnp.asarray(c, corr.dtype))
+    return corr
 
 
 def avg_pool_last(x: jax.Array, window: int = 2) -> jax.Array:
@@ -102,7 +107,8 @@ def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
       x: ``[B, H, W]`` real-valued disparity positions (level-0 scale).
 
     Returns:
-      ``[B, H, W, L*(2r+1)*C]`` (level-major, dx-major, channel-minor).
+      ``[B, H, W, L*(2r+1)*C]`` (level-major, channel-major, dx-minor — the
+      reference's flatten order, geometry.py:48-49).
     """
     dx = jnp.arange(-radius, radius + 1, dtype=x.dtype)
     out = []
@@ -111,7 +117,6 @@ def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
         # Move channels before the sampled axis: [B, H, W, C, D_i]
         v = jnp.moveaxis(vol, -1, -2)
         samples = sample_1d(v, pos[..., None, :])  # [B, H, W, C, K]
-        samples = jnp.swapaxes(samples, -1, -2)    # [B, H, W, K, C]
         out.append(samples.reshape(samples.shape[:-2] + (-1,)))
     return jnp.concatenate(out, axis=-1)
 

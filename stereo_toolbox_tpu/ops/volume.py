@@ -36,10 +36,12 @@ def shifted_right_stack(right: jax.Array, max_disp: int) -> jax.Array:
     Returns:
       ``[B, D, H, W, C]`` stack.
     """
+    w = right.shape[2]
     stack = [right]
     for d in range(1, max_disp):
-        shifted = jnp.pad(right[:, :, : right.shape[2] - d, :],
-                          ((0, 0), (0, 0), (d, 0), (0, 0)))
+        # d >= W → all-zero plane (the reference's masked writes never fire)
+        shifted = jnp.pad(right[:, :, : max(w - d, 0), :],
+                          ((0, 0), (0, 0), (min(d, w), 0), (0, 0)))
         stack.append(shifted)
     return jnp.stack(stack, axis=1)
 

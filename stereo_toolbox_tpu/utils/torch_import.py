@@ -84,7 +84,7 @@ class _Builder:
                  self._take(f"{torch_prefix}.bias"))
 
     def conv_transpose(self, flax_path: str, torch_prefix: str,
-                       flip: bool = True) -> None:
+                       flip: bool = True, bias: bool = False) -> None:
         """torch ConvTranspose weight [I, O, *k] → flax [*k, I, O]."""
         w = self._take(f"{torch_prefix}.weight")
         rank = w.ndim - 2
@@ -92,6 +92,9 @@ class _Builder:
             w = w[(slice(None), slice(None)) + (slice(None, None, -1),) * rank]
         perm = tuple(range(2, 2 + rank)) + (0, 1)
         _set(self.params, f"{flax_path}/kernel", w.transpose(perm))
+        if bias:
+            _set(self.params, f"{flax_path}/bias",
+                 self._take(f"{torch_prefix}.bias"))
 
     def bn(self, flax_path: str, torch_prefix: str) -> None:
         _set(self.params, f"{flax_path}/scale",
@@ -243,10 +246,231 @@ def convert_gwcnet(sd: dict) -> tuple[dict, list]:
     return b.finish()
 
 
+def _raft_res(b: _Builder, flax_path: str, torch_path: str, norm: str,
+              downsample: bool) -> None:
+    """Reference RAFTStereo ResidualBlock (models/RAFTStereo/extractor.py:6-60)
+    → our RAFTResBlock. Instance norm carries no params; batch norm maps to
+    BatchNorm_{0,1,2}. The reference registers the downsample norm twice
+    (`norm3` and `downsample.1`); we consume `downsample.1` and the caller
+    expects `norm3` unused."""
+    b.conv(f"{flax_path}/Conv_0", f"{torch_path}.conv1", bias=True)
+    b.conv(f"{flax_path}/Conv_1", f"{torch_path}.conv2", bias=True)
+    if norm == "batch":
+        b.bn(f"{flax_path}/BatchNorm_0", f"{torch_path}.norm1")
+        b.bn(f"{flax_path}/BatchNorm_1", f"{torch_path}.norm2")
+    if downsample:
+        b.conv(f"{flax_path}/Conv_2", f"{torch_path}.downsample.0", bias=True)
+        if norm == "batch":
+            b.bn(f"{flax_path}/BatchNorm_2", f"{torch_path}.downsample.1")
+
+
+def convert_raft_stereo(sd: dict) -> tuple[dict, list]:
+    """Reference RAFTStereo (models/RAFTStereo/raft_stereo.py:25-66, default
+    config: hidden_dims 3×128, n_downsample=2, n_gru_layers=3) → our
+    RAFTStereo variables."""
+    b = _Builder(sd)
+
+    # fnet: BasicEncoder(256, 'instance', downsample=2) — instance norms are
+    # param-free (extractor.py:122-199)
+    b.conv("fnet/Conv_0", "fnet.conv1", bias=True)
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"fnet/RAFTResBlock_{n}", f"fnet.{layer}.{blk}",
+                      "instance", down and blk == 0)
+            n += 1
+    b.conv("fnet/Conv_1", "fnet.conv2", bias=True)
+
+    # cnet: MultiBasicEncoder(batch norm) (extractor.py:200-306)
+    _convert_multi_basic_encoder(b, "cnet")
+
+    # context-gate convs, computed once outside the loop (raft_stereo.py:55)
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+
+    # update block inside the nn.scan step (params are broadcast → same tree)
+    ub = "step/update_block"
+    for g in ("gru08", "gru16", "gru32"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
+    for i, t in enumerate(("convc1", "convc2", "convf1", "convf2", "conv")):
+        b.conv(f"{ub}/encoder/Conv_{i}", f"update_block.encoder.{t}",
+               bias=True)
+    b.conv(f"{ub}/flow_head_1", "update_block.flow_head.conv1", bias=True)
+    b.conv(f"{ub}/flow_head_2", "update_block.flow_head.conv2", bias=True)
+    b.conv(f"{ub}/mask_1", "update_block.mask.0", bias=True)
+    b.conv(f"{ub}/mask_2", "update_block.mask.2", bias=True)
+
+    return b.finish(expect_unused=("num_batches_tracked", ".norm3."))
+
+
+def _convert_multi_basic_encoder(b: _Builder, fe: str = "cnet",
+                                 out_names=("outputs08", "outputs16",
+                                            "outputs32")) -> None:
+    """MultiBasicEncoder (RAFT extractor.py:200-306 ≡ IGEV extractor.py
+    :200-306, output attr names differ) → our `cnet` scope."""
+    b.conv(f"{fe}/Conv_0", f"{fe}.conv1", bias=True)
+    b.bn(f"{fe}/BatchNorm_0", f"{fe}.norm1")
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"{fe}/RAFTResBlock_{n}", f"{fe}.{layer}.{blk}",
+                      "batch", down and blk == 0)
+            n += 1
+    o = out_names
+    _raft_res(b, f"{fe}/RAFTResBlock_6", f"{fe}.{o[0]}.0.0", "batch", False)
+    b.conv(f"{fe}/Conv_1", f"{fe}.{o[0]}.0.1", bias=True)
+    _raft_res(b, f"{fe}/RAFTResBlock_7", f"{fe}.{o[0]}.1.0", "batch", False)
+    b.conv(f"{fe}/Conv_2", f"{fe}.{o[0]}.1.1", bias=True)
+    _raft_res(b, f"{fe}/RAFTResBlock_8", f"{fe}.layer4.0", "batch", True)
+    _raft_res(b, f"{fe}/RAFTResBlock_9", f"{fe}.layer4.1", "batch", False)
+    _raft_res(b, f"{fe}/RAFTResBlock_10", f"{fe}.{o[1]}.0.0", "batch", False)
+    b.conv(f"{fe}/Conv_3", f"{fe}.{o[1]}.0.1", bias=True)
+    _raft_res(b, f"{fe}/RAFTResBlock_11", f"{fe}.{o[1]}.1.0", "batch", False)
+    b.conv(f"{fe}/Conv_4", f"{fe}.{o[1]}.1.1", bias=True)
+    _raft_res(b, f"{fe}/RAFTResBlock_12", f"{fe}.layer5.0", "batch", True)
+    _raft_res(b, f"{fe}/RAFTResBlock_13", f"{fe}.layer5.1", "batch", False)
+    b.conv(f"{fe}/Conv_5", f"{fe}.{o[2]}.0", bias=True)
+    b.conv(f"{fe}/Conv_6", f"{fe}.{o[2]}.1", bias=True)
+
+
+def _convert_mobilenetv2_trunk(b: _Builder, flax: str, torch_pfx: str,
+                               stage_key) -> None:
+    """timm mobilenetv2_100 trunk (features_only; reference IGEV
+    extractor.py:327-346 re-wraps stages 0-5 as block0..block4) → our
+    `MobileNetV2Trunk`. `stage_key(stage, idx)` maps a timm (stage, block)
+    pair to its torch key prefix."""
+    b.conv(f"{flax}/Conv_0", f"{torch_pfx}.conv_stem")
+    b.bn(f"{flax}/BatchNorm_0", f"{torch_pfx}.bn1")
+    repeats = (1, 2, 3, 4, 3, 3)
+    n = 0
+    for stage, reps in enumerate(repeats):
+        for j in range(reps):
+            t = stage_key(stage, j)
+            f = f"{flax}/InvertedResidual_{n}"
+            if stage == 0:  # DepthwiseSeparableConv: dw → pw
+                b.conv(f"{f}/Conv_0", f"{t}.conv_dw")
+                b.bn(f"{f}/BatchNorm_0", f"{t}.bn1")
+                b.conv(f"{f}/Conv_1", f"{t}.conv_pw")
+                b.bn(f"{f}/BatchNorm_1", f"{t}.bn2")
+            else:  # InvertedResidual: pw → dw → pwl
+                b.conv(f"{f}/Conv_0", f"{t}.conv_pw")
+                b.bn(f"{f}/BatchNorm_0", f"{t}.bn1")
+                b.conv(f"{f}/Conv_1", f"{t}.conv_dw")
+                b.bn(f"{f}/BatchNorm_1", f"{t}.bn2")
+                b.conv(f"{f}/Conv_2", f"{t}.conv_pwl")
+                b.bn(f"{f}/BatchNorm_2", f"{t}.bn3")
+            n += 1
+
+
+def _conv2x(b: _Builder, flax: str, torch_pfx: str,
+            instance_norm: bool) -> None:
+    """IGEV Conv2x / Conv2x_IN (submodule.py:40-80, :111-147): deconv conv1
+    + post-concat conv2."""
+    unit = "BasicConvIN" if instance_norm else "BasicConvBN"
+    b.conv_transpose(f"{flax}/{unit}_0/ConvTranspose_0",
+                     f"{torch_pfx}.conv1.conv")
+    b.conv(f"{flax}/{unit}_1/Conv_0", f"{torch_pfx}.conv2.conv")
+    if not instance_norm:
+        b.bn(f"{flax}/{unit}_0/BatchNorm_0", f"{torch_pfx}.conv1.bn")
+        b.bn(f"{flax}/{unit}_1/BatchNorm_0", f"{torch_pfx}.conv2.bn")
+
+
+def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
+    """Reference IGEVStereo (models/IGEVStereo/igev_stereo.py:92-255, default
+    config) → our IGEVStereo variables."""
+    b = _Builder(sd)
+
+    # Feature: MobileNetV2 trunk split at block0..block4
+    # (extractor.py:327-346: stages [0],[1],[2],[3,4],[5])
+    stage_to_block = {0: ("block0", 0), 1: ("block1", 0), 2: ("block2", 0),
+                      3: ("block3", 0), 4: ("block3", 1), 5: ("block4", 0)}
+
+    def stage_key(stage, j):
+        blk, idx = stage_to_block[stage]
+        return f"feature.{blk}.{idx}.{j}"
+
+    _convert_mobilenetv2_trunk(b, "feature/trunk", "feature", stage_key)
+    for name in ("deconv32_16", "deconv16_8", "deconv8_4"):
+        _conv2x(b, f"feature/{name}", f"feature.{name}", instance_norm=True)
+    b.conv("feature/conv4/Conv_0", "feature.conv4.conv")
+
+    # stems (igev_stereo.py:124-131): Sequential(BasicConv_IN, Conv, IN, ReLU)
+    b.conv("stem_2a/Conv_0", "stem_2.0.conv")
+    b.conv("stem_2b", "stem_2.1")
+    b.conv("stem_4a/Conv_0", "stem_4.0.conv")
+    b.conv("stem_4b", "stem_4.1")
+
+    # matching descriptors (igev_stereo.py:145-146)
+    b.conv("conv/Conv_0", "conv.conv")
+    b.conv("desc", "desc", bias=True)
+
+    # volume stem + attention + GEV hourglass (igev_stereo.py:148-151)
+    b.conv("corr_stem/Conv_0", "corr_stem.conv")
+    b.bn("corr_stem/BatchNorm_0", "corr_stem.bn")
+    b.convbn("corr_feature_att/ConvBNAct_0", "corr_feature_att.feat_att.0.conv",
+             "corr_feature_att.feat_att.0.bn")
+    b.conv("corr_feature_att/Conv_0", "corr_feature_att.feat_att.1", bias=True)
+
+    hg = "cost_agg"
+    seq = [("conv1.0", 0), ("conv1.1", 1), ("conv2.0", 2), ("conv2.1", 3),
+           ("conv3.0", 4), ("conv3.1", 5), ("agg_0.0", 7), ("agg_0.1", 8),
+           ("agg_0.2", 9), ("agg_1.0", 11), ("agg_1.1", 12), ("agg_1.2", 13)]
+    for tname, i in seq:
+        b.conv(f"{hg}/BasicConvBN_{i}/Conv_0", f"{hg}.{tname}.conv")
+        b.bn(f"{hg}/BasicConvBN_{i}/BatchNorm_0", f"{hg}.{tname}.bn")
+    for tname, i in (("conv3_up", 6), ("conv2_up", 10)):
+        b.conv_transpose(f"{hg}/BasicConvBN_{i}/ConvTranspose_0",
+                         f"{hg}.{tname}.conv")
+        b.bn(f"{hg}/BasicConvBN_{i}/BatchNorm_0", f"{hg}.{tname}.bn")
+    b.conv_transpose(f"{hg}/BasicConvBN_14/ConvTranspose_0",
+                     f"{hg}.conv1_up.conv")
+    for i, att in enumerate(("feature_att_8", "feature_att_16",
+                             "feature_att_32", "feature_att_up_16",
+                             "feature_att_up_8")):
+        b.convbn(f"{hg}/FeatureAtt_{i}/ConvBNAct_0",
+                 f"{hg}.{att}.feat_att.0.conv", f"{hg}.{att}.feat_att.0.bn")
+        b.conv(f"{hg}/FeatureAtt_{i}/Conv_0", f"{hg}.{att}.feat_att.1",
+               bias=True)
+    b.conv("classifier", "classifier")
+
+    # context network + gate convs
+    _convert_multi_basic_encoder(b, "cnet",
+                                 ("outputs04", "outputs08", "outputs16"))
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+
+    # superpixel upsamplers (igev_stereo.py:133-143)
+    b.conv("spx_4/Conv_0", "spx_4.0.conv")
+    b.conv("spx_4b", "spx_4.1")
+    _conv2x(b, "spx_2", "spx_2", instance_norm=True)
+    b.conv_transpose("spx", "spx.0", bias=True)
+    _conv2x(b, "step/spx_2_gru", "spx_2_gru", instance_norm=False)
+    b.conv_transpose("step/spx_gru", "spx_gru.0", bias=True)
+
+    # update block (update.py:115-139)
+    ub = "step/update_block"
+    for g in ("gru04", "gru08", "gru16"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
+    for i, t in enumerate(("convc1", "convc2", "convd1", "convd2", "conv")):
+        b.conv(f"{ub}/encoder/Conv_{i}", f"update_block.encoder.{t}",
+               bias=True)
+    b.conv(f"{ub}/disp_head_1", "update_block.disp_head.conv1", bias=True)
+    b.conv(f"{ub}/disp_head_2", "update_block.disp_head.conv2", bias=True)
+    b.conv(f"{ub}/mask_feat_4", "update_block.mask_feat_4.0", bias=True)
+
+    return b.finish(expect_unused=("num_batches_tracked", ".norm3."))
+
+
 CONVERTERS = {
     "PSMNet": convert_psmnet,
     "GwcNet_G": convert_gwcnet,
     "GwcNet_GC": convert_gwcnet,
+    "RAFTStereo": convert_raft_stereo,
+    "IGEVStereo": convert_igev_stereo,
 }
 
 

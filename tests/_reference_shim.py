@@ -42,6 +42,96 @@ def _getattr_raiser(modname):
     return raiser
 
 
+def _make_timm_mobilenetv2():
+    """timm-0.5.4-compatible mobilenetv2_100 (features_only): attribute and
+    state-dict names match timm's efficientnet builder (conv_stem/bn1/act1,
+    blocks.{stage}.{i} with conv_pw/bn1/conv_dw/bn2/conv_pwl/bn3, stage 0 a
+    DepthwiseSeparableConv with conv_dw/bn1/conv_pw/bn2), so reference
+    IGEV-family models instantiate and published checkpoints line up."""
+    import torch.nn as _nn
+
+    class DepthwiseSeparableConv(_nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv_dw = _nn.Conv2d(cin, cin, 3, stride, 1, groups=cin,
+                                      bias=False)
+            self.bn1 = _nn.BatchNorm2d(cin)
+            self.act1 = _nn.ReLU6(inplace=True)
+            self.se = _nn.Identity()
+            self.conv_pw = _nn.Conv2d(cin, cout, 1, bias=False)
+            self.bn2 = _nn.BatchNorm2d(cout)
+            self.act2 = _nn.Identity()
+            self.has_residual = cin == cout and stride == 1
+
+        def forward(self, x):
+            shortcut = x
+            x = self.act1(self.bn1(self.conv_dw(x)))
+            x = self.act2(self.bn2(self.conv_pw(self.se(x))))
+            return x + shortcut if self.has_residual else x
+
+    class InvertedResidual(_nn.Module):
+        def __init__(self, cin, cout, stride=1, exp=6):
+            super().__init__()
+            mid = cin * exp
+            self.conv_pw = _nn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = _nn.BatchNorm2d(mid)
+            self.act1 = _nn.ReLU6(inplace=True)
+            self.conv_dw = _nn.Conv2d(mid, mid, 3, stride, 1, groups=mid,
+                                      bias=False)
+            self.bn2 = _nn.BatchNorm2d(mid)
+            self.act2 = _nn.ReLU6(inplace=True)
+            self.se = _nn.Identity()
+            self.conv_pwl = _nn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = _nn.BatchNorm2d(cout)
+            self.has_residual = cin == cout and stride == 1
+
+        def forward(self, x):
+            shortcut = x
+            x = self.act1(self.bn1(self.conv_pw(x)))
+            x = self.act2(self.bn2(self.conv_dw(x)))
+            x = self.bn3(self.conv_pwl(self.se(x)))
+            return x + shortcut if self.has_residual else x
+
+    class MobileNetV2Features(_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_stem = _nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+            self.bn1 = _nn.BatchNorm2d(32)
+            self.act1 = _nn.ReLU6(inplace=True)
+            cfg = [(16, 1, 1, 1), (24, 2, 6, 2), (32, 2, 6, 3),
+                   (64, 2, 6, 4), (96, 1, 6, 3), (160, 2, 6, 3),
+                   (320, 1, 6, 1)]
+            stages, cin = [], 32
+            for cout, s, e, n in cfg:
+                stage = []
+                for j in range(n):
+                    stride = s if j == 0 else 1
+                    cls = (DepthwiseSeparableConv if e == 1
+                           else InvertedResidual)
+                    args = (cin, cout, stride) if e == 1 else \
+                        (cin, cout, stride, e)
+                    stage.append(cls(*args))
+                    cin = cout
+                stages.append(_nn.Sequential(*stage))
+            self.blocks = _nn.Sequential(*stages)
+
+        def forward(self, x):
+            x = self.act1(self.bn1(self.conv_stem(x)))
+            feats = []
+            for stage in self.blocks:
+                x = stage(x)
+                feats.append(x)
+            return feats
+
+    def create_model(name, pretrained=False, features_only=False, **kwargs):
+        if not name.startswith("mobilenetv2"):
+            raise RuntimeError(f"shim only provides mobilenetv2_100, "
+                               f"got {name!r}")
+        return MobileNetV2Features()
+
+    return create_model
+
+
 def import_reference_models():
     """Import `stereo_toolbox.models` from /root/reference with stubs for
     missing optional wheels; returns the module."""
@@ -49,12 +139,15 @@ def import_reference_models():
         sys.path.insert(0, REFERENCE_ROOT)
 
     # timm_0_5_4: IGEVStereo/Selective* do `import timm_0_5_4 as timm` then
-    # call timm.create_model(...) only inside module __init__s.
+    # call timm.create_model('mobilenetv2_100', features_only=True). Provide
+    # a structurally-exact (timm-0.5.4 module/state-dict naming) MobileNetV2
+    # so IGEV-family reference models instantiate and their state dicts line
+    # up with published checkpoints.
     import torch.nn as _nn
 
     timm = _stub("timm_0_5_4")
-    timm.create_model = _getattr_raiser("timm_0_5_4.create_model")
-    _stub("timm", create_model=_getattr_raiser("timm.create_model"))
+    timm.create_model = _make_timm_mobilenetv2()
+    _stub("timm", create_model=timm.create_model)
     # `from timm_0_5_4.models.layers import DropPath` (DEFOM extractor).
     timm_models = _stub("timm_0_5_4.models")
     timm_layers = _stub("timm_0_5_4.models.layers")

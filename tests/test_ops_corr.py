@@ -59,5 +59,7 @@ def test_volume_pyramid_and_lookup():
     out = np.asarray(corr_ops.volume_lookup_1d(pyr, x, radius=1))
     # L levels * (2r+1) * C channels
     assert out.shape == (1, 2, 3, 2 * 3 * 4)
-    # Level 0, dx=0 (window position 1), channels 4:7 -> vol[..., 4, :]
-    np.testing.assert_allclose(out[0, 1, 2, 4:8], vol[0, 1, 2, 4], rtol=1e-6)
+    # Level 0 is channel-major, dx-minor (reference flatten order,
+    # geometry.py:48-49): dx=0 of channel c sits at index c*3 + 1
+    np.testing.assert_allclose(out[0, 1, 2, 1:12:3], vol[0, 1, 2, 4],
+                               rtol=1e-6)

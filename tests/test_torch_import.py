@@ -108,3 +108,33 @@ def test_gwcnet_parity(ref_models, variant):
     assert p.shape == t.shape
     assert np.abs(p - t).mean() < 5e-3
     assert np.abs(p - t).max() < 0.1
+
+
+def test_raft_stereo_parity(ref_models):
+    from stereo_toolbox_tpu.models import RAFTStereo
+
+    x, y = _stereo_pair(96, 160, seed=2)
+    m = ref_models.RAFTStereo()
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("RAFTStereo", RAFTStereo(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
+
+
+def test_igev_stereo_parity(ref_models):
+    from stereo_toolbox_tpu.models import IGEVStereo
+
+    x, y = _stereo_pair(96, 160, seed=3)
+    m = ref_models.IGEVStereo()
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("IGEVStereo", IGEVStereo(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
