@@ -1,54 +1,87 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: PSMNet 480×640 batch-1 eval-forward latency on one TPU chip,
-compared against the reference's RTX 4090 number (0.0396 s,
-reference README.md:187 / BASELINE.md Table 3). vs_baseline > 1 means faster
-than the reference GPU.
+Headline: PSMNet 480×640 batch-1 eval-forward latency on one TPU chip vs the
+reference's RTX 4090 number (0.0396 s, reference README.md:187 / BASELINE.md
+Table 3). vs_baseline > 1 means faster than the reference GPU. The `extra`
+field carries the same comparison for the iterative north-star configs
+(RAFTStereo 0.1967 s, IGEVStereo 0.2363 s — reference README.md:191,194) at
+their eval iteration counts (32, raft_stereo.py:39-40).
+
+Timing uses utils/timing.bench_fn (two-point slope with on-device scalar
+sync — block_until_ready is unreliable on the tunneled backend). The
+persistent compilation cache keeps the driver's end-of-round run fast;
+always run `python bench.py` locally after changing a default compute path
+so the cache is warm (round-2 post-mortem: a cold cache timed the driver
+run out).
+
+Env: BENCH_MODELS=psmnet,raft_stereo,igev_stereo (subset selection),
+BENCH_BF16=0 for float32.
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_PSMNET_480x640_S = 0.0396
+BASELINES_480x640_S = {
+    "psmnet": 0.0396,
+    "raft_stereo": 0.1967,
+    "igev_stereo": 0.2363,
+}
 
 
 def main():
     import jax
-    # Persistent compilation cache: the model compiles once per machine; the
-    # driver's end-of-round run then skips the multi-minute remote compile.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from stereo_toolbox_tpu.models import PSMNet
+    from stereo_toolbox_tpu import models as zoo
+    from stereo_toolbox_tpu.utils.timing import bench_fn
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "1") == "1" \
         else jnp.float32
-    model = PSMNet(max_disp=192, dtype=dtype)
+    which = os.environ.get("BENCH_MODELS",
+                           "psmnet,raft_stereo,igev_stereo").split(",")
+
     h, w = 480, 640
     key = jax.random.PRNGKey(0)
     left = jax.random.normal(key, (1, h, w, 3), jnp.float32)
-    right = jax.random.normal(key, (1, h, w, 3), jnp.float32)
+    right = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3),
+                              jnp.float32)
 
-    variables = jax.jit(model.init, static_argnames="train")(
-        key, left, right, train=False)
+    def build(name):
+        if name == "psmnet":
+            return zoo.PSMNet(max_disp=192, dtype=dtype)
+        if name == "raft_stereo":
+            return zoo.RAFTStereo(dtype=dtype)
+        if name == "igev_stereo":
+            return zoo.IGEVStereo(dtype=dtype)
+        raise KeyError(name)
 
-    @jax.jit
-    def fwd(variables, left, right):
-        return model.apply(variables, left, right, train=False)
+    results = {}
+    for name in which:
+        model = build(name)
+        variables = jax.jit(model.init, static_argnames="train")(
+            key, left, right, train=False)
+        fwd = jax.jit(lambda v, l, r, m=model: m.apply(v, l, r, train=False))
+        dt = bench_fn(fwd, (variables, left, right))
+        results[name] = {
+            "latency_s": round(dt, 5),
+            "vs_baseline": round(BASELINES_480x640_S[name] / dt, 3),
+        }
+        print(f"# {name}: {dt * 1e3:.2f} ms "
+              f"({results[name]['vs_baseline']}x vs 4090)", file=sys.stderr)
 
-    from stereo_toolbox_tpu.utils.timing import bench_fn
-    dt = bench_fn(fwd, (variables, left, right))
-
+    head = results.get("psmnet") or next(iter(results.values()))
+    head_name = "psmnet" if "psmnet" in results else which[0]
     print(json.dumps({
-        "metric": "psmnet_480x640_fwd_latency",
-        "value": round(dt, 5),
+        "metric": f"{head_name}_480x640_fwd_latency",
+        "value": head["latency_s"],
         "unit": "s",
-        "vs_baseline": round(BASELINE_PSMNET_480x640_S / dt, 3),
+        "vs_baseline": head["vs_baseline"],
+        "extra": {k: v for k, v in results.items() if k != head_name},
     }))
 
 

@@ -158,16 +158,20 @@ def main():
     trainer = Trainer(model, config, mesh=mesh, lr_schedule=lr_schedule)
 
     if args.profile:
-        # one warm step (compile outside the trace), then one traced step
+        # one warm step (compile outside the trace), then one traced step —
+        # on a throwaway COPY of the state (train_step donates its input),
+        # so profiling leaks no optimizer steps into the real trajectory
         from stereo_toolbox_tpu.utils.observability import profile_trace
         batch = {k: v for k, v in sample.items()
                  if k in ("left", "right", "gt_disp")}
         batch = shard_batch(batch, mesh)
-        state, _ = trainer.train_step(state, batch)
+        scratch = jax.tree_util.tree_map(jnp.copy, state)
+        scratch, _ = trainer.train_step(scratch, batch)
         prof_dir = os.path.join(args.log_dir or "runs", "profile")
         with profile_trace(prof_dir):
-            state, loss = trainer.train_step(state, batch)
+            scratch, loss = trainer.train_step(scratch, batch)
             jax.block_until_ready(loss)
+        del scratch
         print(f"profiler trace written to {prof_dir}")
     start_epoch = 0
     if args.resume:

@@ -208,7 +208,8 @@ class DEFOMStereo(nn.Module):
         if train:
             return ([ups1[i] for i in range(ups1.shape[0])]
                     + [ups2[i] for i in range(ups2.shape[0])])
-        return ups2[-1]
+        # iters == scale_iters → the refine scan has length 0
+        return ups2[-1] if ups2.shape[0] else ups1[-1]
 
 
 def DEFOMStereo_S(**kw) -> DEFOMStereo:

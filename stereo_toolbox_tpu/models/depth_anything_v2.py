@@ -57,7 +57,7 @@ class ViTBlock(nn.Module):
         x = x + h * ls1
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default is exact
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h * ls2
 
@@ -165,8 +165,11 @@ class DPTHead(nn.Module):
                                      strides=(2, 2), padding="VALID",
                                      dtype=dt, name=f"resize{i}")(x)
             elif mode == "down2":
+                # torch-parity symmetric padding=1 (flax SAME pads (0,1)
+                # for stride 2, shifting the grid by a pixel)
                 x = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
-                            padding="SAME", dtype=dt, name=f"resize{i}")(x)
+                            padding=((1, 1), (1, 1)), dtype=dt,
+                            name=f"resize{i}")(x)
             outs.append(x)
 
         rn = [nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         build_corr_pyramid, corr_lookup_1d)
+                                         build_corr_pyramid, corr_lookup_1d,
+                                         corr_lookup_1d_alt)
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -212,13 +213,22 @@ class _RAFTStep(nn.Module):
     n_gru_layers: int
     corr_radius: int
     factor: int
+    corr_impl: str = "reg"
+    corr_levels: int = 4
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, carry, pyramid, contexts, x0):
         nets, flow_x = carry
         flow_x = jax.lax.stop_gradient(flow_x)  # coords1.detach() (:155)
-        corr = corr_lookup_1d(pyramid, x0 + flow_x, self.corr_radius)
+        if self.corr_impl == "alt":
+            # memory-light: pyramid holds the raw fmaps, correlation is
+            # recomputed per row-chunk (reference corr.py:159-188)
+            fmap1, fmap2 = pyramid
+            corr = corr_lookup_1d_alt(fmap1, fmap2, x0 + flow_x,
+                                      self.corr_radius, self.corr_levels)
+        else:
+            corr = corr_lookup_1d(pyramid, x0 + flow_x, self.corr_radius)
         flow = jnp.stack([flow_x, jnp.zeros_like(flow_x)], axis=-1)
         nets, mask, delta = BasicMultiUpdateBlock(
             self.hidden_dims, self.n_gru_layers, self.factor,
@@ -239,6 +249,9 @@ class RAFTStereo(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True  # inputs are ImageNet-normalized
+    # 'reg' = precomputed corr pyramid; 'alt' = memory-light per-chunk
+    # recompute (the reference's corr_implementation, raft_stereo.py:135-144)
+    corr_impl: str = "reg"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -272,8 +285,11 @@ class RAFTStereo(nn.Module):
             contexts.append(tuple(jnp.split(z, 3, axis=-1)))
         contexts = tuple(contexts)
 
-        corr = all_pairs_correlation(fmap1, fmap2)
-        pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
+        if self.corr_impl == "alt":
+            pyramid = (fmap1, fmap2)  # recomputed per step, never stored
+        else:
+            corr = all_pairs_correlation(fmap1, fmap2)
+            pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
 
         b, h4, w4 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
         x0 = jnp.broadcast_to(
@@ -288,6 +304,7 @@ class RAFTStereo(nn.Module):
             out_axes=0,
             length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius, factor,
+          corr_impl=self.corr_impl, corr_levels=self.corr_levels,
           dtype=self.dtype, name="step")
         (nets, flow_x), disp_ups = step((nets, flow_x), pyramid,
                                         contexts, x0)

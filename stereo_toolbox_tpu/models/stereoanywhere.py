@@ -18,8 +18,11 @@ TPU-native re-design of models/StereoAnywhere/stereoanywhere.py:
 
 Deviations (documented): the train-time volume-corruption augmentations
 (stereoanywhere.py:249-283) and the handcrafted mirror detector / volume
-truncation (:233-237) are not reproduced; the deformable conv in the
-reference's update path (dcn.py) is a plain conv here.
+truncation (:233-237) are not reproduced. Deformable conv is available
+(nn/dcn.py `DeformableConv2d`, ops/dcn.py, switchable via
+``BasicConvBN(dcn=True)``) with the same off-by-default semantics as the
+reference — no reference config ever passes ``dcn=True``
+(StereoAnywhere/submodule.py:44-47 has no enabling call site).
 """
 
 from __future__ import annotations

@@ -24,7 +24,9 @@ def _leaky(x):
 
 class BasicConvBN(nn.Module):
     """conv/deconv (2D/3D by kernel rank of input) + BatchNorm + LeakyReLU
-    (submodule.py:9-37)."""
+    (submodule.py:9-37). ``dcn`` swaps the 2D conv for a modulated
+    deformable conv, mirroring the reference StereoAnywhere BasicConv's
+    off-by-default switch (StereoAnywhere/submodule.py:44-47)."""
     features: int
     kernel_size: int | Sequence[int] = 3
     strides: int | Sequence[int] = 1
@@ -32,6 +34,7 @@ class BasicConvBN(nn.Module):
     norm: bool = True
     relu: bool = True
     dilation: int = 1
+    dcn: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -44,6 +47,12 @@ class BasicConvBN(nn.Module):
         if self.deconv:
             x = nn.ConvTranspose(self.features, k, strides=s, padding="SAME",
                                  use_bias=False, dtype=self.dtype)(x)
+        elif self.dcn and n == 2:
+            from stereo_toolbox_tpu.nn.dcn import DeformableConv2d
+            x = DeformableConv2d(
+                self.features, k, s,
+                padding=tuple((kk - 1) // 2 * self.dilation for kk in k),
+                dilation=self.dilation, dtype=self.dtype)(x)
         else:
             d = (self.dilation,) * n
             pad = tuple(((kk - 1) // 2 * dd,) * 2 for kk, dd in zip(k, d))

@@ -94,6 +94,57 @@ def corr_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
     return jnp.concatenate(out, axis=-1)
 
 
+def corr_lookup_1d_alt(fmap1: jax.Array, fmap2: jax.Array, x: jax.Array,
+                       radius: int = 4, num_levels: int = 4,
+                       h_chunk: int = 16,
+                       normalize: bool = True) -> jax.Array:
+    """Memory-light windowed correlation lookup, computed on the fly.
+
+    The `alt_cuda_corr` role (reference models/RAFTStereo/corr.py:159-188
+    `AlternateCorrBlock`, raft_stereo.py:135-144 impl switch): identical
+    output to ``corr_lookup_1d(build_corr_pyramid(all_pairs_correlation(...`
+    but the ``[B, H, W1, W2]`` volume is never materialized — correlation is
+    recomputed per H-row-chunk inside a `lax.map` and immediately reduced to
+    the ±radius window, so peak memory is ``O(h_chunk·W1·W2)`` instead of
+    ``O(H·W1·W2)``. The recompute is pure MXU matmul work, which is the
+    TPU-native trade (HBM capacity/bandwidth for FLOPs); at 1088×1920 eval
+    this keeps 32-iteration RAFT inference inside single-chip HBM.
+
+    Args:
+      fmap1: ``[B, H, W1, C]`` left features.
+      fmap2: ``[B, H, W2, C]`` right features.
+      x: ``[B, H, W1]`` real-valued lookup positions (level-0 scale).
+      radius, num_levels: window and pyramid config (reference defaults 4, 4).
+      h_chunk: rows per recompute tile.
+
+    Returns:
+      ``[B, H, W1, num_levels*(2r+1)]`` — identical to `corr_lookup_1d` on
+      the precomputed pyramid (parity: tests/test_ops_corr.py).
+    """
+    b, h, w1, c = fmap1.shape
+    hc = min(h_chunk, h)
+    pad = (-h) % hc
+    if pad:
+        fmap1 = jnp.pad(fmap1, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        fmap2 = jnp.pad(fmap2, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    n = (h + pad) // hc
+
+    def chunk(args):
+        f1, f2, xc = args  # [B, hc, W1, C], [B, hc, W2, C], [B, hc, W1]
+        corr = all_pairs_correlation(f1, f2, normalize=normalize)
+        pyr = build_corr_pyramid(corr, num_levels)
+        return corr_lookup_1d(pyr, xc, radius)
+
+    def split(a):
+        return jnp.moveaxis(
+            a.reshape(a.shape[0], n, hc, *a.shape[2:]), 1, 0)
+
+    out = jax.lax.map(chunk, (split(fmap1), split(fmap2), split(x)))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, h + pad, w1, -1)
+    return out[:, :h]
+
+
 def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
                      radius: int = 4) -> jax.Array:
     """Windowed lookup into a multi-channel per-pixel volume pyramid.

@@ -14,7 +14,8 @@ TPU-native re-design of the reference trainer (trainer/trainer_torchrun.py):
   clip_grad_norm (:288)                    optax.clip_by_global_norm
   OneCycleLR (tests/train_torchrun.py:60)  optax.linear_onecycle_schedule
   torch.save rank-0 ckpt (:155-179)        orbax checkpoint (process 0)
-  epoch-granular resume (:182-212)         step-granular resume
+  epoch-granular resume (:182-212)         epoch-granular resume
+                                           (kill-tested, test_resume_concat)
 
 The loss dispatch mirrors trainer_torchrun.py:264-301: models returning
 ``(init_disp, disp_preds)`` use the RAFT exp-weighted sequence loss
@@ -172,7 +173,8 @@ def make_train_step(model, config: TrainConfig,
         donate_argnums=0)
 
 
-def make_eval_step(model, pad_disp: bool = False) -> Callable:
+def make_eval_step(model) -> Callable:
+    """Jitted eval forward (the trainer-side twin of evaluation.make_apply)."""
     def eval_fn(variables, left, right):
         return model.apply(variables, left, right, train=False)
     return jax.jit(eval_fn)

@@ -106,6 +106,45 @@ class _Builder:
         _set(self.stats, f"{flax_path}/var",
              self._take(f"{torch_prefix}.running_var"))
 
+    def raw(self, flax_path: str, key: str) -> None:
+        """Copy a tensor verbatim (cls tokens, pos embeds, LayerScale γ)."""
+        _set(self.params, flax_path, self._take(key))
+
+    def dense(self, flax_path: str, torch_prefix: str,
+              bias: bool = True) -> None:
+        """torch Linear [O, I] → flax Dense kernel [I, O]."""
+        w = self._take(f"{torch_prefix}.weight")
+        _set(self.params, f"{flax_path}/kernel", w.T)
+        if bias:
+            _set(self.params, f"{flax_path}/bias",
+                 self._take(f"{torch_prefix}.bias"))
+
+    def layernorm(self, flax_path: str, torch_prefix: str) -> None:
+        _set(self.params, f"{flax_path}/scale",
+             self._take(f"{torch_prefix}.weight"))
+        _set(self.params, f"{flax_path}/bias",
+             self._take(f"{torch_prefix}.bias"))
+
+    def attention(self, flax_path: str, torch_prefix: str,
+                  num_heads: int) -> None:
+        """torch fused-QKV attention (DINOv2 attention.py:29-61) → flax
+        MultiHeadDotProductAttention {query,key,value,out} DenseGenerals."""
+        qkv_w = self._take(f"{torch_prefix}.qkv.weight")  # [3D, D]
+        qkv_b = self._take(f"{torch_prefix}.qkv.bias")
+        d = qkv_w.shape[1]
+        hd = d // num_heads
+        for i, name in enumerate(("query", "key", "value")):
+            w = qkv_w[i * d:(i + 1) * d]                  # [D, D] (out, in)
+            _set(self.params, f"{flax_path}/{name}/kernel",
+                 w.T.reshape(d, num_heads, hd))
+            _set(self.params, f"{flax_path}/{name}/bias",
+                 qkv_b[i * d:(i + 1) * d].reshape(num_heads, hd))
+        w = self._take(f"{torch_prefix}.proj.weight")     # [D, D]
+        _set(self.params, f"{flax_path}/out/kernel",
+             w.T.reshape(num_heads, hd, d))
+        _set(self.params, f"{flax_path}/out/bias",
+             self._take(f"{torch_prefix}.proj.bias"))
+
     def convbn(self, flax_prefix: str, torch_conv: str,
                torch_bn: str) -> None:
         """Reference convbn/convbn_3d Sequential (PSMNet submodule.py:10-18)
@@ -465,12 +504,149 @@ def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
     return b.finish(expect_unused=("num_batches_tracked", ".norm3."))
 
 
+_DAV2_HEADS = {"vits": 6, "vitb": 12, "vitl": 16}
+_DAV2_DEPTH = {"vits": 12, "vitb": 12, "vitl": 24}
+_DAV2_TAPS = {"vits": (2, 5, 8, 11), "vitb": (2, 5, 8, 11),
+              "vitl": (4, 11, 17, 23)}
+
+
+def convert_depth_anything_v2(sd: dict, encoder: str = None) -> tuple:
+    """Reference DepthAnythingV2 (models/depth_anything_v2/dpt.py:309,
+    dinov2.py:44-330) → our DepthAnythingV2 variables. This is the key that
+    unlocks the 5 foundation-tier zoo entries (MonSter, DEFOM,
+    FoundationStereo, StereoAnywhere consume this trunk).
+
+    `encoder` is inferred from the embed dim when omitted."""
+    b = _Builder(sd)
+    if encoder is None:
+        d = sd["pretrained.cls_token"].shape[-1]
+        encoder = {384: "vits", 768: "vitb", 1024: "vitl"}[d]
+    heads, depth = _DAV2_HEADS[encoder], _DAV2_DEPTH[encoder]
+
+    # --- DINOv2 trunk ----------------------------------------------------
+    p = "pretrained"
+    b.conv(f"{p}/patch_embed", f"{p}.patch_embed.proj", bias=True)
+    b.raw(f"{p}/cls_token", f"{p}.cls_token")
+    b.raw(f"{p}/pos_embed", f"{p}.pos_embed")
+    for i in range(depth):
+        t = f"{p}.blocks.{i}"
+        f = f"{p}/block{i}"
+        b.layernorm(f"{f}/LayerNorm_0", f"{t}.norm1")
+        b.attention(f"{f}/MultiHeadDotProductAttention_0", f"{t}.attn",
+                    heads)
+        b.raw(f"{f}/ls1", f"{t}.ls1.gamma")
+        b.layernorm(f"{f}/LayerNorm_1", f"{t}.norm2")
+        b.dense(f"{f}/Dense_0", f"{t}.mlp.fc1")
+        b.dense(f"{f}/Dense_1", f"{t}.mlp.fc2")
+        b.raw(f"{f}/ls2", f"{t}.ls2.gamma")
+    # get_intermediate_layers applies the single final norm to every tap
+    # (dinov2.py get_intermediate_layers norm=True); our per-tap norms all
+    # receive the same weights.
+    for i in _DAV2_TAPS[encoder]:
+        _set(b.params, f"{p}/tapnorm{i}/scale", b._take(f"{p}.norm.weight"))
+        _set(b.params, f"{p}/tapnorm{i}/bias", b._take(f"{p}.norm.bias"))
+
+    # --- DPT head (dpt.py:38-163) ---------------------------------------
+    h = "depth_head"
+    for i in range(4):
+        b.conv(f"{h}/project{i}", f"{h}.projects.{i}", bias=True)
+        if i in (0, 1):
+            b.conv_transpose(f"{h}/resize{i}", f"{h}.resize_layers.{i}",
+                             bias=True)
+        elif i == 3:
+            b.conv(f"{h}/resize{i}", f"{h}.resize_layers.{i}", bias=True)
+        b.conv(f"{h}/layer{i + 1}_rn", f"{h}.scratch.layer{i + 1}_rn")
+    for i in (1, 2, 3, 4):
+        t = f"{h}.scratch.refinenet{i}"
+        f = f"{h}/refine{i}"
+        units = (("resConfUnit2", "ResidualConvUnit_0"),) if i == 4 else \
+            (("resConfUnit1", "ResidualConvUnit_0"),
+             ("resConfUnit2", "ResidualConvUnit_1"))
+        for tu, fu in units:
+            b.conv(f"{f}/{fu}/Conv_0", f"{t}.{tu}.conv1", bias=True)
+            b.conv(f"{f}/{fu}/Conv_1", f"{t}.{tu}.conv2", bias=True)
+        b.conv(f"{f}/Conv_0", f"{t}.out_conv", bias=True)
+    b.conv(f"{h}/output_conv1", f"{h}.scratch.output_conv1", bias=True)
+    b.conv(f"{h}/output_conv2a", f"{h}.scratch.output_conv2.0", bias=True)
+    b.conv(f"{h}/output_conv2b", f"{h}.scratch.output_conv2.2", bias=True)
+
+    # refinenet4.resConfUnit1 is constructed but never used by the forward
+    # (util/blocks.py forward only applies it when a skip input exists);
+    # mask_token is a training-time masking artifact, unused at inference.
+    return b.finish(expect_unused=("num_batches_tracked",
+                                   "refinenet4.resConfUnit1",
+                                   "pretrained.mask_token"))
+
+
+# Scope under which each foundation-tier model embeds its DAv2 trunk
+DAV2_SCOPES = {
+    "MonSter": "mono",
+    "DEFOMStereo_S": "defomencoder",
+    "DEFOMStereo_L": "defomencoder",
+    "FoundationStereo_S": "dino",
+    "FoundationStereo_L": "dino",
+    "StereoAnywhere": "mono_model",
+}
+
+
+def graft_dav2_trunk(model_name: str, variables: dict, sd_or_path,
+                     encoder: str = None) -> tuple[dict, list]:
+    """Inject a converted DepthAnythingV2 torch checkpoint into the DAv2
+    submodule of a foundation-tier model's variables.
+
+    The reference loads the frozen DAv2 trunk separately from the stereo
+    weights (e.g. MonSter/monster.py:317-356); this is the equivalent for
+    our flax trees. Returns ``(new_variables, skipped_keys)`` where
+    skipped_keys lists converted leaves the model's tree does not use (some
+    models consume only a subset of the DPT head).
+    """
+    import numpy as _np
+
+    sd = (load_torch_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else sd_or_path)
+    dav2, _ = convert_depth_anything_v2(sd, encoder)
+    if model_name not in DAV2_SCOPES:
+        raise KeyError(f"{model_name!r} has no DAv2 trunk; one of "
+                       f"{sorted(DAV2_SCOPES)}")
+    scope = DAV2_SCOPES[model_name]
+    if scope not in variables.get("params", {}):
+        raise KeyError(f"model variables have no {scope!r} scope — init the "
+                       f"model first")
+
+    skipped: list = []
+
+    def merge(dst, src, path):
+        out = dict(dst)
+        for k, v in src.items():
+            p = f"{path}/{k}"
+            if k not in dst:
+                skipped.append(p)
+                continue
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v, p)
+            else:
+                v = _np.asarray(v)
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"{p}: model has {tuple(dst[k].shape)}, checkpoint "
+                        f"has {tuple(v.shape)} — encoder size mismatch?")
+                out[k] = v.astype(_np.asarray(dst[k]).dtype)
+        return out
+
+    params = dict(variables["params"])
+    params[scope] = merge(params[scope], dav2["params"], scope)
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars, skipped
+
+
 CONVERTERS = {
     "PSMNet": convert_psmnet,
     "GwcNet_G": convert_gwcnet,
     "GwcNet_GC": convert_gwcnet,
     "RAFTStereo": convert_raft_stereo,
     "IGEVStereo": convert_igev_stereo,
+    "DepthAnythingV2": convert_depth_anything_v2,
 }
 
 

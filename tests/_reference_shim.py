@@ -164,15 +164,13 @@ def import_reference_models():
     fa.flash_attn_func = _getattr_raiser("flash_attn.flash_attn_func")
     fa.flash_attn_qkvpacked_func = _getattr_raiser("flash_attn")
 
-    # xformers: optional in DINOv2 layers (guarded imports), stub anyway.
-    xf = _stub("xformers")
-    xops = _stub("xformers.ops")
-    xops.memory_efficient_attention = _getattr_raiser("xformers.ops")
-    xops.unbind = _getattr_raiser("xformers.ops.unbind")
-    xops.fmha = _stub("xformers.ops.fmha")
-    xops.scaled_index_add = _getattr_raiser("xformers.ops")
-    xops.index_select_cat = _getattr_raiser("xformers.ops")
-    xf.ops = xops
+    # xformers: optional in DINOv2 layers behind `try: import` guards. Do
+    # NOT stub it — a successful import flips XFORMERS_AVAILABLE=True and
+    # routes attention through MemEffAttention (dinov2_layers/attention.py),
+    # whereas the guarded ImportError selects the vanilla torch path the
+    # parity tests need.
+    for name in ("xformers", "xformers.ops"):
+        sys.modules.pop(name, None)
 
     # torchvision: StereoAnywhere dcn.py / DepthAnything transforms, plus
     # STTR's backbone uses torchvision.models.resnet.BasicBlock at runtime —

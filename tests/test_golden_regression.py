@@ -1,0 +1,36 @@
+"""Golden-metrics regression gate (round-2 verdict item 3).
+
+Re-runs the fully-deterministic `tools/train_golden.py` recipe (seeded
+synthetic data, XLA CPU) and lets `evaluation._write_back` assert the eval
+metrics against the committed `GOLDEN_PSMNET.json` — the fail-capable
+version of the reference's checkpoint metric write-back
+(evaluation/sceneflow_test.py:49-56).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(ROOT, "GOLDEN_PSMNET.json")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN),
+                    reason="golden file not generated yet")
+def test_training_reproduces_golden_metrics():
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from train_golden import run
+
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    assert "synthetic_sceneflow_protocol_120steps" in golden
+
+    # _write_back raises AssertionError on drift > 1e-3 vs the stored values
+    metrics = run(steps=120, write_json=GOLDEN)
+    # sanity on the artifact itself: training clearly beat the untrained
+    # net (~10.5 px EPE on this synthetic distribution, tools/smoke_tpu.py)
+    assert metrics[0] < 7.0

@@ -4,6 +4,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+# full-model compiles dominate CPU runtime; deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _inputs(b=1, h=56, w=56):
     rng = np.random.RandomState(0)

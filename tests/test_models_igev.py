@@ -4,6 +4,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+# full-model compiles dominate CPU runtime; deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 from stereo_toolbox_tpu.models.igev_stereo import IGEVStereo
 from stereo_toolbox_tpu import losses, metrics
 

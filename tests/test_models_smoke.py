@@ -1,0 +1,56 @@
+"""Fast model-forward smoke coverage for the default (non-slow) suite.
+
+The per-family deep tests (shapes, grads, parity) live in the `slow`-marked
+modules; this file keeps one eval forward of each architectural family in
+the <5-minute default run so a broken model import or shape regression is
+caught on every round (round-2 verdict item 9).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _pair(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return (jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32)),
+            jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32)))
+
+
+def _run_eval(model, h, w, **apply_kw):
+    left, right = _pair(h, w)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    out = model.apply(variables, left, right, train=False, **apply_kw)
+    if isinstance(out, tuple):
+        out = out[0]
+    pred = np.asarray(out)
+    assert pred.shape == (1, h, w), pred.shape
+    assert np.isfinite(pred).all()
+    return pred
+
+
+def test_psmnet_smoke():
+    from stereo_toolbox_tpu.models import PSMNet
+    _run_eval(PSMNet(max_disp=16), 48, 64)
+
+
+def test_gwcnet_smoke():
+    from stereo_toolbox_tpu.models import GwcNet_G
+    _run_eval(GwcNet_G(max_disp=16), 48, 64)
+
+
+def test_raft_stereo_smoke():
+    from stereo_toolbox_tpu.models import RAFTStereo
+    _run_eval(RAFTStereo(valid_iters=2), 32, 64)
+
+
+def test_igev_stereo_smoke():
+    from stereo_toolbox_tpu.models import IGEVStereo
+    left, right = _pair(64, 64)
+    model = IGEVStereo(max_disp=32, valid_iters=2)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    pred, _ = model.apply(variables, left, right, train=False,
+                          mutable=["batch_stats"])
+    assert pred.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(pred)).all()

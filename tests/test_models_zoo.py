@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-model compiles dominate CPU runtime; deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 from stereo_toolbox_tpu.models import (ACVNet, GwcNet_G, GwcNet_GC,
                                        RAFTStereo, create_model)
 from stereo_toolbox_tpu import losses, metrics

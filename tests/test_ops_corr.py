@@ -63,3 +63,39 @@ def test_volume_pyramid_and_lookup():
     # geometry.py:48-49): dx=0 of channel c sits at index c*3 + 1
     np.testing.assert_allclose(out[0, 1, 2, 1:12:3], vol[0, 1, 2, 4],
                                rtol=1e-6)
+
+
+def test_alt_corr_matches_reg():
+    """Memory-light lookup (the alt_cuda_corr role, reference
+    corr.py:159-188) is numerically identical to the precomputed-pyramid
+    path, including H-chunk padding remainders."""
+    rng = np.random.RandomState(7)
+    f1 = jnp.asarray(rng.randn(2, 11, 12, 16).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 11, 12, 16).astype(np.float32))
+    x = jnp.asarray((rng.rand(2, 11, 12) * 14 - 1).astype(np.float32))
+
+    corr = corr_ops.all_pairs_correlation(f1, f2)
+    pyr = corr_ops.build_corr_pyramid(corr, 3)
+    want = corr_ops.corr_lookup_1d(pyr, x, radius=2)
+    got = corr_ops.corr_lookup_1d_alt(f1, f2, x, radius=2, num_levels=3,
+                                      h_chunk=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_raft_alt_corr_impl_matches_reg():
+    """RAFTStereo(corr_impl='alt') produces the same disparity as 'reg'
+    with identical variables (reference raft_stereo.py:135-144 switch)."""
+    import jax
+    from stereo_toolbox_tpu.models import RAFTStereo
+
+    rng = np.random.RandomState(8)
+    left = jnp.asarray(rng.randn(1, 32, 64, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(1, 32, 64, 3).astype(np.float32))
+    reg = RAFTStereo(valid_iters=2)
+    v = reg.init(jax.random.PRNGKey(0), left, right, train=False)
+    want = reg.apply(v, left, right, train=False)
+    got = RAFTStereo(valid_iters=2, corr_impl="alt").apply(
+        v, left, right, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -67,3 +67,11 @@ def test_spatial_apply_psmnet_matches_single_device():
     close = np.isclose(got, want, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.999, f"{(~close).sum()} of {close.size} mismatch"
     assert np.abs(got - want).max() < 6.0  # mode flips stay within the range
+    # Halo-exchange bugs corrupt exactly the rows at shard boundaries, which
+    # a global 99.9% threshold could mask: require the same near-exact rate
+    # inside every ±2-row boundary band (8 shards over 64 rows → y = 8k).
+    h = got.shape[1]
+    for y in range(h // 8, h, h // 8):
+        band = close[:, max(y - 2, 0):y + 2]
+        assert band.mean() > 0.999, f"boundary y={y}: " \
+            f"{(~band).sum()}/{band.size} mismatch"

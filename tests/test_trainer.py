@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-model compiles dominate CPU runtime; deselect with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 from stereo_toolbox_tpu.datasets.base import SyntheticStereoDataset
 from stereo_toolbox_tpu.datasets.loader import DataLoader
 from stereo_toolbox_tpu.models import PSMNet

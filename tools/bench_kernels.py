@@ -39,6 +39,11 @@ def main():
               dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
               preferred_element_type=jnp.float32), x, k, flops=fl)
         t(f"conv3d via2d  {ci}->{co}", conv3d_via_2d, x, k, flops=fl)
+        from stereo_toolbox_tpu.ops.pallas.conv3d_fused import conv3d_fused
+        for th in (12, 24, 40, 60):
+            t(f"conv3d fused-pallas {ci}->{co} th={th}",
+              lambda a, b, th=th: conv3d_fused(a, b, relu=True, tile_h=th),
+              x, k, flops=fl)
 
     x = jax.random.normal(key, (1, D, H, W, 32), DTYPE)
     k = jax.random.normal(key, (3, 3, 3, 32, 64), DTYPE)

@@ -1,0 +1,86 @@
+"""Train PSMNet on deterministic synthetic data and gate its eval metrics.
+
+The first in-tree accuracy artifact (round-2 verdict item 3): a short,
+fully-seeded CPU training run whose SceneFlow-protocol eval metrics are
+committed as `GOLDEN_PSMNET.json`. Re-running this script reproduces the
+run bit-for-bit (XLA CPU is deterministic, the synthetic dataset is
+seed-indexed) and `evaluation._write_back` ASSERTS on drift beyond 1e-3 —
+the regression-gate role of the reference's checkpoint metric write-back
+(evaluation/sceneflow_test.py:49-56), made fail-capable.
+
+Usage: python tools/train_golden.py  [--steps 120]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(ROOT, "GOLDEN_PSMNET.json")
+
+
+def run(steps: int = 120, write_json: str = GOLDEN):
+    import numpy as np
+    from stereo_toolbox_tpu.datasets.base import SyntheticStereoDataset
+    from stereo_toolbox_tpu.datasets.loader import DataLoader
+    from stereo_toolbox_tpu.evaluation import make_apply, sceneflow_test
+    from stereo_toolbox_tpu.models import PSMNet
+    from stereo_toolbox_tpu.trainer import (TrainConfig, init_train_state,
+                                            make_train_step)
+
+    config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
+                         clip_grad=1.0)
+    model = PSMNet(max_disp=48)
+
+    train_ds = SyntheticStereoDataset(num_samples=16, height=80, width=112,
+                                      max_disp=24, training=True,
+                                      crop_size=(64, 96), seed=0)
+    loader = DataLoader(train_ds, batch_size=2, num_workers=0, seed=0)
+
+    batch0 = next(iter(loader))
+    state = init_train_state(model, config, batch0, total_steps=steps)
+    step = make_train_step(model, config)
+
+    it = 0
+    first = last = None
+    while it < steps:
+        for batch in loader:
+            if it >= steps:
+                break
+            state, loss = step(state, batch)
+            if it == 0:
+                first = float(loss)
+            last = float(loss)
+            if it % 20 == 0:
+                print(f"step {it}: loss {float(loss):.3f}", flush=True)
+            it += 1
+    print(f"loss {first:.3f} -> {last:.3f} over {steps} steps", flush=True)
+    assert last < first * 0.5, "training failed to reduce the loss"
+
+    val_ds = SyntheticStereoDataset(num_samples=8, height=96, width=128,
+                                    max_disp=24, training=False, seed=100)
+    val_loader = DataLoader(val_ds, batch_size=1, num_workers=0,
+                            shuffle=False)
+    apply_fn = make_apply(model)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    metrics = sceneflow_test(apply_fn, variables, val_loader,
+                             maxdisp=config.max_disp,
+                             write_json=write_json,
+                             write_key=f"synthetic_sceneflow_protocol_{steps}steps")
+    print("eval:", metrics, flush=True)
+    return metrics
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--out", default=GOLDEN)
+    a = ap.parse_args()
+    run(a.steps, a.out)
