@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.nn.layers import ConvBNAct, ConvTransposeBN, \
-    BasicResBlock, avg_pool
+    BasicResBlock, ConcatVolumeConvBNAct, avg_pool
 
 
 class SPPFeature(nn.Module):
@@ -103,14 +103,19 @@ class PSMNet(nn.Module):
         ref_f = feat(left, train)
         tgt_f = feat(right, train)
 
-        cost = ops.build_concat_volume(ref_f, tgt_f, self.max_disp // 4)
-
-        # dres0 / dres1 + residual (stackhourglass.py:122-123)
-        c = ConvBNAct(32, 3, dtype=self.dtype)(cost, train)
-        c = ConvBNAct(32, 3, dtype=self.dtype)(c, train)
+        # dres0 / dres1 + residual (stackhourglass.py:122-123). The concat
+        # volume (stackhourglass.py:111-120) is never materialized: its only
+        # consumer is dres0's first conv, which factorizes into 2D convs
+        # (ConcatVolumeConvBNAct / ops.conv3d_concat_volume) — same params,
+        # same output, ~30x fewer MACs for the layer.
+        c = ConcatVolumeConvBNAct(32, self.max_disp // 4, dtype=self.dtype,
+                                  name="ConvBNAct_0")(ref_f, tgt_f, train)
+        c = ConvBNAct(32, 3, dtype=self.dtype, name="ConvBNAct_1")(c, train)
         cost0 = c
-        c = ConvBNAct(32, 3, dtype=self.dtype)(cost0, train)
-        c = ConvBNAct(32, 3, act=None, dtype=self.dtype)(c, train)
+        c = ConvBNAct(32, 3, dtype=self.dtype,
+                      name="ConvBNAct_2")(cost0, train)
+        c = ConvBNAct(32, 3, act=None, dtype=self.dtype,
+                      name="ConvBNAct_3")(c, train)
         cost0 = c + cost0
 
         out1, pre1, post1 = Hourglass3D(32, dtype=self.dtype)(

@@ -223,6 +223,40 @@ class ConvBNAct(nn.Module):
         return x
 
 
+class ConcatVolumeConvBNAct(nn.Module):
+    """First aggregation layer over a concat cost volume, computed WITHOUT
+    materializing the volume: the 3×3×3 conv factorizes into 2D convs +
+    diagonal assembly (ops.conv3d.conv3d_concat_volume) because the volume's
+    left half is d-invariant and its right half a pure diagonal shift.
+
+    Param tree is identical to ``build_concat_volume`` → ``ConvBNAct``
+    (``Conv_0/kernel [3,3,3,2C,Co]`` + ``BatchNorm_0``), so checkpoints and
+    torch imports (utils/torch_import.convert_psmnet) are unaffected.
+    Replaces ~100 GFLOP of Co=32 3D conv with ~3 GFLOP of 2D convs at
+    PSMNet's 480×640 eval shape (models/PSMNet/stackhourglass.py:111-123).
+    """
+    features: int
+    max_disp: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, left_f: jax.Array, right_f: jax.Array,
+                 train: bool = False) -> jax.Array:
+        from stereo_toolbox_tpu.ops.conv3d import conv3d_concat_volume
+        c = left_f.shape[-1]
+        # params live under Conv_0 for layout parity with ConvBNAct
+        conv = Conv3dFlex(self.features, (3, 3, 3), dtype=self.dtype,
+                          name="Conv_0")
+        kernel, _ = conv(jnp.zeros((1, 1, 1, 1, 2 * c), left_f.dtype),
+                         raw=True)
+        dt = self.dtype or left_f.dtype
+        x = conv3d_concat_volume(left_f.astype(dt), right_f.astype(dt),
+                                 kernel.astype(dt), self.max_disp)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
 def torch_transpose_padding(kernel: Sequence[int],
                             strides: Sequence[int]) -> tuple:
     """Per-dim (lo, hi) flax ConvTranspose padding matching torch's

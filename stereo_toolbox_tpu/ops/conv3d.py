@@ -19,6 +19,138 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def conv3d_concat_volume(left: jax.Array, right: jax.Array,
+                         kernel: jax.Array, max_disp: int) -> jax.Array:
+    """``conv3d(build_concat_volume(left, right, D), kernel, SAME, stride 1)``
+    without ever materializing the input volume — exact to within fp
+    reassociation (tests/test_conv3d.py::test_conv3d_concat_volume_*).
+
+    The concat volume is structured (SURVEY §7 "hard parts"): its left half
+    is d-invariant (``L[h,w]·[w ≥ d]``) and its right half is a pure
+    diagonal shift (``R[h, w-d]``), so a 3×3×3 conv over it collapses to
+    2D convs plus diagonal bookkeeping:
+
+      * left half  → three 2D convs (one per kd tap) summed per-plane, with
+        the d-edge planes using partial sums and the ``w ≈ d`` mask boundary
+        patched by four diagonal band corrections;
+      * right half → three 3×5 2D convs on zero-extended R (kw−kd becomes a
+        plain w offset), read back along diagonals ``w−d``, with a one-column
+        correction at ``w = W−1`` where the volume's zero padding differs
+        from R's zero extension.
+
+    This turns the most expensive conv of PSMNet-style aggregation
+    (models/PSMNet/stackhourglass.py:122, D·H·W·2C·C·27 MACs ≈ 100 GFLOP at
+    480×640) into ~3 GFLOP of 2D convs + O(D·H·W·Co) assembly bandwidth.
+
+    Args:
+      left, right: ``[B, H, W, C]`` feature maps.
+      kernel: ``[3, 3, 3, 2C, Co]`` (left channels first, as the volume).
+      max_disp: D.
+
+    Returns:
+      ``[B, D, H, W, Co]``.
+    """
+    b, h, w, c = left.shape
+    kd_, kh_, kw_, ci, co = kernel.shape
+    assert (kd_, kh_, kw_) == (3, 3, 3) and ci == 2 * c, (kernel.shape, c)
+    D = max_disp
+    kl = kernel[:, :, :, :c]   # [3, 3, 3, C, Co]
+    kr = kernel[:, :, :, c:]
+
+    def conv2d(x2, k2, pad):
+        return lax.conv_general_dilated(
+            x2, k2, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # ---- left half: per-kd 2D convs -----------------------------------
+    p_kd = [conv2d(left, kl[i], ((1, 1), (1, 1))) for i in range(3)]
+    s_full = p_kd[0] + p_kd[1] + p_kd[2]
+    s_d0 = p_kd[1] + p_kd[2]          # plane d=0: kd=0 reads the d=-1 pad
+    s_dD = p_kd[0] + p_kd[1]          # plane d=D-1: kd=2 reads the d=D pad
+
+    # band corrections at w = d+b, b ∈ {-2,-1,0,1}: the mask [w' ≥ d']
+    # zeroes taps with kd-kw > b. KLb = Σ_{kd ≤ b+kw, kd ∈ set} KL[kd].
+    lz = jnp.pad(left, ((0, 0), (0, 0), (3, 3), (0, 0)))
+    kd_sets = {"full": (0, 1, 2), "d0": (1, 2), "dD": (0, 1)}
+    bands = {}  # (set, b) → [B, D, H, Co]
+    didx = jnp.arange(D)
+    for name, kds in kd_sets.items():
+        for bb in (-2, -1, 0, 1):
+            acc = None
+            for kw in range(3):
+                klb = sum((kl[kd, :, kw] for kd in kds if kd - kw <= bb),
+                          jnp.zeros_like(kl[0, :, 0]))   # [3, C, Co]
+                # gather L columns along the diagonal w = d+b+kw-1
+                cols = jnp.take(lz, jnp.clip(didx + bb + kw - 1 + 3, 0,
+                                             lz.shape[2] - 1), axis=2)
+                # [B, H, D, C] → conv over h with the 3-tap column kernel
+                v = conv2d(cols, klb[:, None], ((1, 1), (0, 0)))
+                acc = v if acc is None else acc + v
+            bands[(name, bb)] = jnp.swapaxes(acc, 1, 2)  # [B, D, H, Co]
+
+    # ---- right half: 3×5 convs on zero-extended R ---------------------
+    # G_kd[u] = Σ_{kh,δ} Rz[h+kh-1, u+δ] @ KR[kd, kh, δ+kd-... ] with
+    # δ = kw - kd ∈ [-2, 2]; evaluate u ∈ [-2, W-1] (width W+2).
+    r2 = jnp.pad(right, ((0, 0), (0, 0), (4, 2), (0, 0)))
+    g_kd = []
+    for kd in range(3):
+        k5 = jnp.zeros((3, 5, c, co), kernel.dtype)
+        for kw in range(3):
+            k5 = k5.at[:, kw - kd + 2].set(kr[kd, :, kw])
+        g_kd.append(conv2d(r2, k5, ((1, 1), (0, 0))))    # [B, H, W+2, Co]
+    g_full = g_kd[0] + g_kd[1] + g_kd[2]
+    g_d0 = g_kd[1] + g_kd[2]
+    g_dD = g_kd[0] + g_kd[1]
+
+    # w = W-1 column correction: G's zero-extended R differs from the
+    # volume's zero padding for taps at w' = W (kw = 2, d' ≥ 1).
+    c_kd = [conv2d(right, kr[kd, :, 2][:, None], ((1, 1), (0, 0)))
+            for kd in range(3)]                          # [B, H, W, Co]
+    corr = {}
+    for name, kds in kd_sets.items():
+        acc = jnp.zeros((b, D, h, co), left.dtype)
+        for kd in kds:
+            u = w - didx - kd + 1                        # = W - d'
+            valid = (u >= 0) & (u < w) & (didx + kd - 1 >= 1)
+            vals = jnp.take(c_kd[kd], jnp.clip(u, 0, w - 1), axis=2)
+            acc = acc + jnp.swapaxes(vals, 1, 2) * \
+                valid[None, :, None, None]
+            # vals: [B, H, D, Co] → [B, D, H, Co]
+        corr[name] = acc
+
+    # ---- assemble planes (static D loop, like shifted_right_stack) ----
+    w_iota = jnp.arange(w)
+    planes = []
+    for d in range(D):
+        name = "d0" if d == 0 else ("dD" if d == D - 1 else "full")
+        s = {"full": s_full, "d0": s_d0, "dD": s_dD}[name]
+        g = {"full": g_full, "d0": g_d0, "dD": g_dD}[name]
+
+        row = s * (w_iota >= d + 2)[None, None, :, None].astype(s.dtype)
+        # right half: row_r[w] = G[:, :, w-d+2] (empty when d ≥ W+2 — the
+        # whole plane is then left of the image and reads only zeros)
+        i0 = 2 - d
+        lo = min(max(i0, 0), w + 2)
+        hi = min(max(i0 + w, lo), w + 2)
+        src = g[:, :, lo:hi]
+        lpad = lo - i0
+        if src.shape[2] > 0 and lpad < w:
+            row = row + jnp.pad(src, ((0, 0), (0, 0),
+                                      (lpad, w - src.shape[2] - lpad),
+                                      (0, 0)))
+        # left mask bands at w = d+b
+        for bb in (-2, -1, 0, 1):
+            wpos = d + bb
+            if 0 <= wpos < w:
+                band = bands[(name, bb)][:, d][:, :, None]  # [B, H, 1, Co]
+                row = row + jnp.pad(band, ((0, 0), (0, 0),
+                                           (wpos, w - wpos - 1), (0, 0)))
+        # w = W-1 right-edge correction
+        row = row - jnp.pad(corr[name][:, d][:, :, None],
+                            ((0, 0), (0, 0), (w - 1, 0), (0, 0)))
+        planes.append(row)
+    return jnp.stack(planes, axis=1)
+
+
 def conv3d_via_2d(x: jax.Array, kernel: jax.Array,
                   strides=(1, 1, 1), padding=None) -> jax.Array:
     """3D conv over ``[B, D, H, W, C]`` with kernel ``[kd, kh, kw, Ci, Co]``.

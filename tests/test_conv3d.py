@@ -41,3 +41,31 @@ def test_conv3d_via_2d_grad():
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC")).sum())(k)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# conv3d_concat_volume: factorized first conv over the concat cost volume
+# ---------------------------------------------------------------------------
+
+import pytest
+from stereo_toolbox_tpu.ops.conv3d import conv3d_concat_volume
+from stereo_toolbox_tpu import ops as _ops
+
+
+@pytest.mark.parametrize("d,h,w", [(8, 6, 12), (12, 5, 8), (4, 4, 4)])
+def test_conv3d_concat_volume_matches_naive(d, h, w):
+    """Exact (fp-reassociation-level) parity with conv3d over the built
+    volume, covering D<W, D>W and the w≈d mask-boundary bands."""
+    rng = np.random.RandomState(0)
+    c, co = 5, 7
+    left = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+    right = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, 3, 2 * c, co) * 0.2).astype(np.float32))
+
+    vol = _ops.build_concat_volume(left, right, d)
+    want = jax.lax.conv_general_dilated(
+        vol, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = conv3d_concat_volume(left, right, k, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
