@@ -188,10 +188,14 @@ class ConvBNAct(nn.Module):
                        and k == (3, 3, 3) and s == (1, 1, 1)
                        and d == (1, 1, 1) and _fused_eval_ok())
             if impl == "auto":
-                # measured end-to-end on the chip (tools/bench_e2e.py,
-                # PSMNet 480x640 bf16): native 42.4ms, via2d 50.7ms,
-                # fused 72.4ms — XLA's native NDHWC path wins until the
-                # Pallas fused kernel is faster per-shape.
+                # 'native' wins END-TO-END on the chip (tools/bench_e2e.py:
+                # native 38ms, via2d 50.7ms, fused-everywhere 72.4ms,
+                # fused-at-Co<=32-only 75.3ms for PSMNet 480x640 bf16) even
+                # though isolated microbenches rank fused (24.6 TF/s) and
+                # via2d (29.5) above native (15.1) at the Co=32 shape
+                # (BENCH_KERNELS.md) — in-context the Pallas call's 128-lane
+                # channel padding and lost producer fusion cost more than
+                # the MXU win. Keep 'fused'/'via2d' selectable per layer.
                 impl = "native"
             conv = Conv3dFlex(self.features, k, s, p, d, use_bias=bias,
                               impl="via2d" if impl == "via2d" else "native",

@@ -7,6 +7,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
@@ -20,7 +23,12 @@ D, H, W = 48, 120, 160
 
 
 def t(name, fn, *args, flops=None):
-    dt = bench_fn(jax.jit(fn), args)
+    try:
+        dt = bench_fn(jax.jit(fn), args)
+    except Exception as e:  # e.g. scoped-vmem OOM for oversized tiles
+        print(f"{name:38s}   FAILED: {str(e).splitlines()[0][:90]}",
+              flush=True)
+        return
     extra = ""
     if flops:
         extra = f" ({flops / dt / 1e12:6.1f} TFLOP/s)"
@@ -55,6 +63,22 @@ def main():
           preferred_element_type=jnp.float32), x, k, flops=fl)
     t("conv3d via2d  32->64 s2",
       lambda a, b: conv3d_via_2d(a, b, (2, 2, 2)), x, k, flops=fl)
+
+    # factorized first conv over the concat volume (PSMNet dres0.0) vs the
+    # naive build+conv3d it replaces
+    from stereo_toolbox_tpu.ops.conv3d import conv3d_concat_volume
+    l32 = jax.random.normal(key, (1, H, W, 32), DTYPE)
+    r32 = jax.random.normal(jax.random.PRNGKey(7), (1, H, W, 32), DTYPE)
+    k64 = jax.random.normal(key, (3, 3, 3, 64, 32), DTYPE)
+    fl = 2 * 27 * 64 * 32 * D * H * W
+    t("concat-vol conv naive (build+conv3d)",
+      lambda a, b, kk: jax.lax.conv_general_dilated(
+          ops.build_concat_volume(a, b, D), kk, (1, 1, 1), "SAME",
+          dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+          preferred_element_type=jnp.float32), l32, r32, k64, flops=fl)
+    t("concat-vol conv factorized",
+      lambda a, b, kk: conv3d_concat_volume(a, b, kk, D), l32, r32, k64,
+      flops=fl)
 
     # volume builds: 320ch gwc (GwcNet) and 32ch concat (PSMNet)
     f320 = jax.random.normal(key, (1, H, W, 320), DTYPE)
