@@ -150,7 +150,8 @@ class ACVNet(nn.Module):
                       dtype=self.dtype, name="concatconv_1")
         cl = cc1(cc0(fl, train))
         cr = cc1(cc0(fr, train))
-        concat_volume = ops.build_concat_volume(cl, cr, d4)
+        # ACVNet's variant keeps left features at every d (submodule.py:180-191)
+        concat_volume = ops.build_concat_volume(cl, cr, d4, mask_left=False)
         # softmax over the disparity axis (acv.py:196, dim=2 in NCDHW)
         ac_volume = jax.nn.softmax(att_weights, axis=1) * concat_volume
 

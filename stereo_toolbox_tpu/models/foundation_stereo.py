@@ -265,7 +265,9 @@ class FoundationStereo(nn.Module):
         gwc = ops.build_gwc_volume(fl[0], fr0, d4, self.cv_group)
         proj = nn.Conv(12, (1, 1), use_bias=False, dtype=dt,
                        name="proj_cmb")
-        cvol = ops.build_concat_volume(proj(fl[0]), proj(fr0), d4)
+        # FoundationStereo keeps left features at every d (submodule.py:416-427)
+        cvol = ops.build_concat_volume(proj(fl[0]), proj(fr0), d4,
+                                       mask_left=False)
         comb = jnp.concatenate([gwc, cvol], -1)
         comb = BasicConvBN(self.volume_dim, 3, 1, dtype=dt,
                            name="corr_stem")(comb, train)

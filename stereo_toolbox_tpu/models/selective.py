@@ -401,7 +401,14 @@ class SelectiveIGEV(nn.Module):
         if not train:
             return disp_ups[-1]
 
+        # spx_4 is Sequential(BasicConv_IN, Conv, IN, ReLU)
+        # (SelectiveIGEV/igev_stereo.py:135-140)
         xspx = BasicConvIN(24, 3, 1, dtype=self.dtype, name="spx_4")(fl0)
+        xspx = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                       dtype=self.dtype, name="spx_4b")(xspx)
+        xspx = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                            use_scale=False, name="spx_4n")(xspx)
+        xspx = nn.relu(xspx)
         xspx = Conv2x(32, deconv=True, instance_norm=True, dtype=self.dtype,
                       name="spx_2")(xspx, stem_2x)
         spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",

@@ -54,12 +54,16 @@ def _left_valid_mask(max_disp: int, width: int, dtype) -> jax.Array:
 
 
 def build_concat_volume(left: jax.Array, right: jax.Array,
-                        max_disp: int) -> jax.Array:
-    """PSMNet-style concatenation cost volume.
+                        max_disp: int, mask_left: bool = True) -> jax.Array:
+    """Concatenation cost volume. The reference tree vendors TWO variants:
 
-    Parity: models/GwcNet/submodule.py:30-41 and
-    models/PSMNet/stackhourglass.py:111-120 — both left and right features are
-    zero for w < d.
+      * ``mask_left=True`` — left features zeroed for w < d alongside the
+        right ones (PSMNet stackhourglass.py:111-120, GwcNet
+        submodule.py:30-41, CFNet submodule.py:143-149, PCWNet
+        submodule.py:88-94);
+      * ``mask_left=False`` — left features kept at every disparity
+        (ACVNet submodule.py:180-191, IGEVStereo submodule.py:240-251,
+        FoundationStereo submodule.py:416-427).
 
     Args:
       left, right: ``[B, H, W, C]`` features at volume resolution.
@@ -69,8 +73,11 @@ def build_concat_volume(left: jax.Array, right: jax.Array,
       ``[B, D, H, W, 2C]`` volume, ``concat([left, right_shifted], C)``.
     """
     B, H, W, C = left.shape
-    mask = _left_valid_mask(max_disp, W, left.dtype)[None, :, None, :, None]
-    left_b = jnp.broadcast_to(left[:, None], (B, max_disp, H, W, C)) * mask
+    left_b = jnp.broadcast_to(left[:, None], (B, max_disp, H, W, C))
+    if mask_left:
+        mask = _left_valid_mask(max_disp, W,
+                                left.dtype)[None, :, None, :, None]
+        left_b = left_b * mask
     right_s = shifted_right_stack(right, max_disp)
     return jnp.concatenate([left_b, right_s], axis=-1)
 

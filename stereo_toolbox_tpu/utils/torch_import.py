@@ -285,6 +285,52 @@ def convert_gwcnet(sd: dict) -> tuple[dict, list]:
     return b.finish()
 
 
+def _acv_hourglass(b: _Builder, f: str, t: str) -> None:
+    """Reference ACV hourglass with bottleneck attention (acv.py:56-96) →
+    our HourglassAttn."""
+    for i, c in enumerate(("conv1", "conv2", "conv3", "conv4")):
+        b.convbn(f"{f}/ConvBNAct_{i}", f"{t}.{c}.0.0", f"{t}.{c}.0.1")
+    ab = f"{f}/BlockAttention3D_0"
+    b.dense(f"{ab}/qkv", f"{t}.attention_block.qkv_3d")
+    b.conv(f"{ab}/proj", f"{t}.attention_block.final1x1", bias=True)
+    b.conv_transpose(f"{f}/ConvTransposeBN_0/ConvTranspose_0", f"{t}.conv5.0")
+    b.bn(f"{f}/ConvTransposeBN_0/BatchNorm_0", f"{t}.conv5.1")
+    b.conv_transpose(f"{f}/ConvTransposeBN_1/ConvTranspose_0", f"{t}.conv6.0")
+    b.bn(f"{f}/ConvTransposeBN_1/BatchNorm_0", f"{t}.conv6.1")
+    b.convbn(f"{f}/ConvBNAct_4", f"{t}.redir2.0", f"{t}.redir2.1")
+    b.convbn(f"{f}/ConvBNAct_5", f"{t}.redir1.0", f"{t}.redir1.1")
+
+
+def convert_acvnet(sd: dict) -> tuple[dict, list]:
+    """Reference ACVNet (models/ACVNet/acv.py:95-255, full two-branch
+    config) → our ACVNet variables."""
+    b = _Builder(sd)
+    _convert_res_trunk(b, "feature_extraction")
+
+    # attention-weights branch (acv.py:109-121)
+    for p in ("patch", "patch_l1", "patch_l2", "patch_l3"):
+        b.conv(p, p)
+    b.convbn("ConvBNAct_0", "dres1_att_.0.0", "dres1_att_.0.1")
+    b.convbn("ConvBNAct_1", "dres1_att_.2.0", "dres1_att_.2.1")
+    _acv_hourglass(b, "HourglassAttn_0", "dres2_att_")
+    b.convbn("ConvBNAct_2", "classif_att_.0.0", "classif_att_.0.1")
+    b.conv("Conv_0", "classif_att_.2")
+
+    # main branch (acv.py:122-146)
+    b.convbn("concatconv_0", "concatconv.0.0", "concatconv.0.1")
+    b.conv("concatconv_1", "concatconv.2")
+    b.convbn("ConvBNAct_3", "dres0.0.0", "dres0.0.1")
+    b.convbn("ConvBNAct_4", "dres0.2.0", "dres0.2.1")
+    b.convbn("ConvBNAct_5", "dres1.0.0", "dres1.0.1")
+    b.convbn("ConvBNAct_6", "dres1.2.0", "dres1.2.1")
+    _acv_hourglass(b, "HourglassAttn_1", "dres2")
+    _acv_hourglass(b, "HourglassAttn_2", "dres3")
+    for i in range(3):
+        b.convbn(f"classif{i}_conv", f"classif{i}.0.0", f"classif{i}.0.1")
+        b.conv(f"classif{i}_out", f"classif{i}.2")
+    return b.finish()
+
+
 def _raft_res(b: _Builder, flax_path: str, torch_path: str, norm: str,
               downsample: bool) -> None:
     """Reference RAFTStereo ResidualBlock (models/RAFTStereo/extractor.py:6-60)
@@ -417,11 +463,10 @@ def _conv2x(b: _Builder, flax: str, torch_pfx: str,
         b.bn(f"{flax}/{unit}_1/BatchNorm_0", f"{torch_pfx}.conv2.bn")
 
 
-def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
-    """Reference IGEVStereo (models/IGEVStereo/igev_stereo.py:92-255, default
-    config) → our IGEVStereo variables."""
-    b = _Builder(sd)
-
+def _convert_igev_common(b: _Builder) -> None:
+    """Shared IGEV-family plumbing (IGEVStereo ≡ SelectiveIGEV init,
+    igev_stereo.py:92-151): MobileNetV2 feature pyramid, stems, matching
+    descriptors, GEV hourglass, classifier, cnet and superpixel upsamplers."""
     # Feature: MobileNetV2 trunk split at block0..block4
     # (extractor.py:327-346: stages [0],[1],[2],[3,4],[5])
     stage_to_block = {0: ("block0", 0), 1: ("block1", 0), 2: ("block2", 0),
@@ -475,11 +520,9 @@ def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
                bias=True)
     b.conv("classifier", "classifier")
 
-    # context network + gate convs
+    # context network
     _convert_multi_basic_encoder(b, "cnet",
                                  ("outputs04", "outputs08", "outputs16"))
-    for i in range(3):
-        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
 
     # superpixel upsamplers (igev_stereo.py:133-143)
     b.conv("spx_4/Conv_0", "spx_4.0.conv")
@@ -489,11 +532,8 @@ def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
     _conv2x(b, "step/spx_2_gru", "spx_2_gru", instance_norm=False)
     b.conv_transpose("step/spx_gru", "spx_gru.0", bias=True)
 
-    # update block (update.py:115-139)
+    # motion encoder + heads shared by both update-block variants
     ub = "step/update_block"
-    for g in ("gru04", "gru08", "gru16"):
-        for c in ("convz", "convr", "convq"):
-            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
     for i, t in enumerate(("convc1", "convc2", "convd1", "convd2", "conv")):
         b.conv(f"{ub}/encoder/Conv_{i}", f"update_block.encoder.{t}",
                bias=True)
@@ -501,7 +541,77 @@ def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
     b.conv(f"{ub}/disp_head_2", "update_block.disp_head.conv2", bias=True)
     b.conv(f"{ub}/mask_feat_4", "update_block.mask_feat_4.0", bias=True)
 
+
+def convert_igev_stereo(sd: dict) -> tuple[dict, list]:
+    """Reference IGEVStereo (models/IGEVStereo/igev_stereo.py:92-255, default
+    config) → our IGEVStereo variables."""
+    b = _Builder(sd)
+    _convert_igev_common(b)
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+    ub = "step/update_block"
+    for g in ("gru04", "gru08", "gru16"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
     return b.finish(expect_unused=("num_batches_tracked", ".norm3."))
+
+
+def convert_selective_raft(sd: dict) -> tuple[dict, list]:
+    """Reference SelectiveRAFT (models/SelectiveStereo/SelectiveRAFT/
+    raft.py:25-58) → our SelectiveRAFT variables: RAFT's fnet/cnet with
+    CAM/SAM context attention and dual-kernel SelectiveConvGRUs."""
+    b = _Builder(sd)
+    b.conv("fnet/Conv_0", "fnet.conv1", bias=True)
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"fnet/RAFTResBlock_{n}", f"fnet.{layer}.{blk}",
+                      "instance", down and blk == 0)
+            n += 1
+    b.conv("fnet/Conv_1", "fnet.conv2", bias=True)
+    _convert_multi_basic_encoder(b, "cnet")
+    b.conv("cam/fc1", "cam.fc.0")
+    b.conv("cam/fc2", "cam.fc.2")
+    b.conv("sam/Conv_0", "sam.samconv")
+    ub = "step/update_block"
+    for g in ("gru04", "gru08", "gru16"):
+        for sub in ("small_gru", "large_gru"):
+            for c in ("convz", "convr", "convq"):
+                b.conv(f"{ub}/{g}/{sub}/{c}", f"update_block.{g}.{sub}.{c}",
+                       bias=True)
+    # SelectiveRAFT's motion encoder names its disparity convs convf*
+    # (SelectiveRAFT/update.py:80-85), unlike SelectiveIGEV's convd*
+    for i, t in enumerate(("convc1", "convc2", "convf1", "convf2", "conv")):
+        b.conv(f"{ub}/encoder/Conv_{i}", f"update_block.encoder.{t}",
+               bias=True)
+    b.conv(f"{ub}/disp_head_1", "update_block.disp_head.conv1", bias=True)
+    b.conv(f"{ub}/disp_head_2", "update_block.disp_head.conv2", bias=True)
+    b.conv(f"{ub}/mask_1", "update_block.mask.0", bias=True)
+    b.conv(f"{ub}/mask_2", "update_block.mask.2", bias=True)
+    return b.finish(expect_unused=("num_batches_tracked", ".norm3."))
+
+
+def convert_selective_igev(sd: dict) -> tuple[dict, list]:
+    """Reference SelectiveIGEV (models/SelectiveStereo/SelectiveIGEV/
+    igev_stereo.py:92-166) → our SelectiveIGEV variables. Differs from IGEV
+    by CAM/SAM context attention instead of zqr gate convs and
+    dual-kernel SelectiveConvGRUs (update.py:139-259)."""
+    b = _Builder(sd)
+    _convert_igev_common(b)
+    b.conv("cam/fc1", "cam.fc.0")
+    b.conv("cam/fc2", "cam.fc.2")
+    b.conv("sam/Conv_0", "sam.samconv")
+    ub = "step/update_block"
+    for g in ("gru04", "gru08", "gru16"):
+        for sub in ("small_gru", "large_gru"):
+            for c in ("convz", "convr", "convq"):
+                b.conv(f"{ub}/{g}/{sub}/{c}", f"update_block.{g}.{sub}.{c}",
+                       bias=True)
+    # SelectiveIGEV's BasicConv registers self.bn even with bn=False
+    # (submodule.py:13-19), so conv1_up carries dead BN keys
+    return b.finish(expect_unused=("num_batches_tracked", ".norm3.",
+                                   "cost_agg.conv1_up.bn"))
 
 
 _DAV2_HEADS = {"vits": 6, "vitb": 12, "vitl": 16}
@@ -644,8 +754,11 @@ CONVERTERS = {
     "PSMNet": convert_psmnet,
     "GwcNet_G": convert_gwcnet,
     "GwcNet_GC": convert_gwcnet,
+    "ACVNet": convert_acvnet,
     "RAFTStereo": convert_raft_stereo,
     "IGEVStereo": convert_igev_stereo,
+    "SelectiveRAFT": convert_selective_raft,
+    "SelectiveIGEV": convert_selective_igev,
     "DepthAnythingV2": convert_depth_anything_v2,
 }
 

@@ -206,3 +206,51 @@ def test_graft_dav2_into_defom(ref_models):
     pred = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False))(
         new_vars, x, x)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_acvnet_parity(ref_models):
+    from stereo_toolbox_tpu.models import ACVNet
+
+    # max_disp=64 keeps the bottleneck attention's D (=max_disp/16)
+    # block-divisible, as the reference requires (submodule.py:398-405)
+    x, y = _stereo_pair(96, 160, seed=6)
+    m = ref_models.ACVNet(maxdisp=64)
+    t = _settle_bn_and_eval(m, x, y).numpy()
+    t = t[0] if t.ndim == 3 else t[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("ACVNet", ACVNet(max_disp=64), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
+
+
+def test_selective_igev_parity(ref_models):
+    from stereo_toolbox_tpu.models import SelectiveIGEV
+
+    x, y = _stereo_pair(96, 160, seed=7)
+    m = ref_models.SelectiveIGEV()
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("SelectiveIGEV", SelectiveIGEV(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
+
+
+def test_selective_raft_parity(ref_models):
+    from stereo_toolbox_tpu.models import SelectiveRAFT
+
+    x, y = _stereo_pair(96, 160, seed=8)
+    m = ref_models.SelectiveRAFT()
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("SelectiveRAFT", SelectiveRAFT(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
