@@ -331,6 +331,99 @@ def convert_acvnet(sd: dict) -> tuple[dict, list]:
     return b.finish()
 
 
+def _mish_hourglass(b: _Builder, f: str, t: str) -> None:
+    """CFNet/PCWNet redir hourglass with Mish (CFNet/cfnet.py:231-272) →
+    our HourglassMish."""
+    for i, c in enumerate(("conv1", "conv2", "conv3", "conv4")):
+        b.convbn(f"{f}/ConvBNAct_{i}", f"{t}.{c}.0.0", f"{t}.{c}.0.1")
+    b.conv_transpose(f"{f}/ConvTransposeBN_0/ConvTranspose_0", f"{t}.conv5.0")
+    b.bn(f"{f}/ConvTransposeBN_0/BatchNorm_0", f"{t}.conv5.1")
+    b.convbn(f"{f}/ConvBNAct_4", f"{t}.redir2.0", f"{t}.redir2.1")
+    b.conv_transpose(f"{f}/ConvTransposeBN_1/ConvTranspose_0", f"{t}.conv6.0")
+    b.bn(f"{f}/ConvTransposeBN_1/BatchNorm_0", f"{t}.conv6.1")
+    b.convbn(f"{f}/ConvBNAct_5", f"{t}.redir1.0", f"{t}.redir1.1")
+
+
+def convert_cfnet(sd: dict) -> tuple[dict, list]:
+    """Reference CFNet (models/CFNet/cfnet.py:274-436, use_concat_volume)
+    → our CFNet variables."""
+    b = _Builder(sd)
+    fe = "feature_extraction"
+    for i in range(3):
+        b.convbn(f"{fe}/ConvBNAct_{i}", f"{fe}.firstconv.{2 * i}.0",
+                 f"{fe}.firstconv.{2 * i}.1")
+    # UNet encoder: single Mish BasicBlock per scale (cfnet.py:26-30)
+    for n, layer in enumerate(("layer2", "layer3", "layer4", "layer5",
+                               "layer6")):
+        t = f"{fe}.{layer}.0"
+        f = f"{fe}/CFBasicBlock_{n}"
+        b.convbn(f"{f}/ConvBNAct_0", f"{t}.conv1.0.0", f"{t}.conv1.0.1")
+        b.convbn(f"{f}/ConvBNAct_1", f"{t}.conv2.0", f"{t}.conv2.1")
+        b.convbn(f"{f}/ConvBNAct_2", f"{t}.downsample.0",
+                 f"{t}.downsample.1")
+    for i in range(4):
+        b.convbn(f"{fe}/PyramidPooling_0/path{i}",
+                 f"{fe}.pyramid_pooling.path_module_list.{i}.cbr_unit.0",
+                 f"{fe}.pyramid_pooling.path_module_list.{i}.cbr_unit.1")
+    for up in ("upconv6", "upconv5", "upconv4", "upconv3"):
+        b.convbn(f"{fe}/{up}", f"{fe}.{up}.1.0", f"{fe}.{up}.1.1")
+    for ic in ("iconv5", "iconv4", "iconv3", "iconv2"):
+        b.convbn(f"{fe}/{ic}", f"{fe}.{ic}.0.0", f"{fe}.{ic}.0.1")
+    for head in ("gw2", "gw3", "gw4", "gw5", "gw6", "concat2", "concat3",
+                 "concat4", "concat5", "concat6"):
+        b.convbn(f"{fe}/{head}_0", f"{fe}.{head}.0.0", f"{fe}.{head}.0.1")
+        b.conv(f"{fe}/{head}_1", f"{fe}.{head}.2")
+
+    # pre-hourglass residual stacks (dres / confidence pairs)
+    for ours, t0, t1 in (
+            ("dres4", "dres0", "dres1"), ("dres5", "dres0_5", "dres1_5"),
+            ("dres6", "dres0_6", "dres1_6"),
+            ("confidence_s3", "confidence0_s3", "confidence1_s3"),
+            ("confidence_s2", "confidence0_s2", "confidence1_s2")):
+        b.convbn(f"{ours}_a", f"{t0}.0.0", f"{t0}.0.1")
+        b.convbn(f"{ours}_b", f"{t0}.2.0", f"{t0}.2.1")
+        b.convbn(f"{ours}_c", f"{t1}.0.0", f"{t1}.0.1")
+        b.convbn(f"{ours}_d", f"{t1}.2.0", f"{t1}.2.1")
+
+    # multi-scale fusing hourglassup (cfnet.py:178-230)
+    hu = "combine1"
+    b.conv(f"{hu}/Conv_0", "combine1.conv1")
+    b.convbn(f"{hu}/combine1", "combine1.combine1.0.0",
+             "combine1.combine1.0.1")
+    b.convbn(f"{hu}/ConvBNAct_0", "combine1.conv2.0.0", "combine1.conv2.0.1")
+    b.conv(f"{hu}/Conv_1", "combine1.conv3")
+    b.convbn(f"{hu}/combine2", "combine1.combine2.0.0",
+             "combine1.combine2.0.1")
+    b.convbn(f"{hu}/ConvBNAct_1", "combine1.conv4.0.0", "combine1.conv4.0.1")
+    b.conv_transpose(f"{hu}/ConvTransposeBN_0/ConvTranspose_0",
+                     "combine1.conv8.0")
+    b.bn(f"{hu}/ConvTransposeBN_0/BatchNorm_0", "combine1.conv8.1")
+    b.convbn(f"{hu}/ConvBNAct_2", "combine1.redir2.0", "combine1.redir2.1")
+    b.conv_transpose(f"{hu}/ConvTransposeBN_1/ConvTranspose_0",
+                     "combine1.conv9.0")
+    b.bn(f"{hu}/ConvTransposeBN_1/BatchNorm_0", "combine1.conv9.1")
+    b.convbn(f"{hu}/ConvBNAct_3", "combine1.redir1.0", "combine1.redir1.1")
+
+    for hg in ("dres3", "confidence2_s3", "confidence3_s3",
+               "confidence2_s2", "confidence3_s2"):
+        _mish_hourglass(b, hg, hg)
+
+    for cl in ("classif0", "classif1", "classif2", "confidence_classif0_s3",
+               "confidence_classif1_s3", "confidence_classifmid_s3",
+               "confidence_classif0_s2", "confidence_classif1_s2",
+               "confidence_classifmid_s2"):
+        b.convbn(f"{cl}_conv", f"{cl}.0.0", f"{cl}.0.1")
+        b.conv(f"{cl}_out", f"{cl}.2")
+
+    for p in ("gamma_s3", "beta_s3", "gamma_s2", "beta_s2"):
+        b.raw(p, p)
+
+    # hourglassup registers combine3/redir3 but its forward never uses them
+    # (cfnet.py:206-231)
+    return b.finish(expect_unused=("num_batches_tracked",
+                                   "combine1.combine3", "combine1.redir3"))
+
+
 def _raft_res(b: _Builder, flax_path: str, torch_path: str, norm: str,
               downsample: bool) -> None:
     """Reference RAFTStereo ResidualBlock (models/RAFTStereo/extractor.py:6-60)
@@ -755,6 +848,7 @@ CONVERTERS = {
     "GwcNet_G": convert_gwcnet,
     "GwcNet_GC": convert_gwcnet,
     "ACVNet": convert_acvnet,
+    "CFNet": convert_cfnet,
     "RAFTStereo": convert_raft_stereo,
     "IGEVStereo": convert_igev_stereo,
     "SelectiveRAFT": convert_selective_raft,

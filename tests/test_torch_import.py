@@ -254,3 +254,66 @@ def test_selective_raft_parity(ref_models):
     assert p.shape == t.shape
     assert np.abs(p - t).mean() < 5e-3
     assert np.abs(p - t).max() < 0.1
+
+
+def test_cfnet_parity(ref_models):
+    from stereo_toolbox_tpu.models import CFNet
+
+    x, y = _stereo_pair(96, 160, seed=9)
+    m = ref_models.CFNet(192)
+
+    # The reference's UniformSampler/SpatialTransformer call
+    # tensor.get_device() (CUDA-only, returns -1 on CPU) — swap in
+    # device-agnostic clones with identical math (CFNet/submodule.py:280-345)
+    class _CPUUniformSampler(torch.nn.Module):
+        def forward(self, min_d, max_d, number_of_samples=10):
+            multiplier = (max_d - min_d) / (number_of_samples + 1)
+            rng = torch.arange(1.0, number_of_samples + 1, 1).view(
+                number_of_samples, 1, 1)
+            return min_d + multiplier * rng
+
+    class _CPUSpatialTransformer(torch.nn.Module):
+        def forward(self, left_input, right_input, disparity_samples):
+            ycoord = torch.arange(0.0, left_input.size()[3]).repeat(
+                left_input.size()[2]).view(left_input.size()[2],
+                                           left_input.size()[3])
+            ycoord = torch.clamp(ycoord, 0, left_input.size()[3] - 1)
+            ycoord = ycoord.expand(left_input.size()[0], -1, -1)
+            right_map = right_input.expand(
+                disparity_samples.size()[1], -1, -1, -1, -1).permute(
+                [1, 2, 0, 3, 4])
+            left_map = left_input.expand(
+                disparity_samples.size()[1], -1, -1, -1, -1).permute(
+                [1, 2, 0, 3, 4])
+            ds = disparity_samples.float()
+            rcoord = ycoord.expand(ds.size()[1], -1, -1, -1).permute(
+                [1, 0, 2, 3]) - ds
+            rc1 = rcoord
+            rcoord = torch.clamp(rcoord, 0, right_input.size()[3] - 1)
+            warped = torch.gather(
+                right_map, dim=4, index=rcoord.expand(
+                    right_input.size()[1], -1, -1, -1, -1).permute(
+                    [1, 0, 2, 3, 4]).long())
+            rc1 = rc1.unsqueeze(1)
+            warped = (1 - ((rc1 < 0) + (rc1 > right_input.size()[3] - 1)
+                           ).float()) * warped
+            return warped, left_map
+
+    m.uniform_sampler = _CPUUniformSampler()
+    m.spatial_transformer = _CPUSpatialTransformer()
+    t = _settle_bn_and_eval(m, x, y)
+    t = (t[0] if isinstance(t, (list, tuple)) else t).squeeze().numpy()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("CFNet", CFNet(max_disp=192), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    # CFNet's cascade floors real-valued search bounds to integer samples
+    # (cfnet.py generate_disparity_samples .long()), so ~1e-4 cross-framework
+    # float drift flips a +-1 sample at occasional near-tie pixels; every
+    # pre-floor stage matches to <1e-4 (see the staged debug comparison).
+    # Assert near-exactness on the overwhelming majority and a bounded mean.
+    d = np.abs(p - t)
+    assert np.median(d) < 5e-3, np.median(d)
+    assert np.quantile(d, 0.9) < 0.1, np.quantile(d, 0.9)
+    assert d.mean() < 0.05, d.mean()

@@ -37,9 +37,17 @@ def t(name, fn, *args, flops=None):
 
 def main():
     key = jax.random.PRNGKey(0)
+    # create inputs via one jitted call — eager op-by-op dispatch through
+    # the tunneled backend is pathologically slow (see utils/timing.py)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def randn(k, shape, dtype):
+        return jax.random.normal(k, shape, dtype)
+
     for ci, co in ((64, 32), (32, 32)):
-        x = jax.random.normal(key, (1, D, H, W, ci), DTYPE)
-        k = jax.random.normal(key, (3, 3, 3, ci, co), DTYPE)
+        x = randn(key, (1, D, H, W, ci), DTYPE)
+        k = randn(key, (3, 3, 3, ci, co), DTYPE)
         fl = 2 * 27 * ci * co * D * H * W
         t(f"conv3d native {ci}->{co}",
           lambda a, b: jax.lax.conv_general_dilated(
@@ -53,8 +61,8 @@ def main():
               lambda a, b, th=th: conv3d_fused(a, b, relu=True, tile_h=th),
               x, k, flops=fl)
 
-    x = jax.random.normal(key, (1, D, H, W, 32), DTYPE)
-    k = jax.random.normal(key, (3, 3, 3, 32, 64), DTYPE)
+    x = randn(key, (1, D, H, W, 32), DTYPE)
+    k = randn(key, (3, 3, 3, 32, 64), DTYPE)
     fl = 2 * 27 * 32 * 64 * (D // 2) * (H // 2) * (W // 2)
     t("conv3d native 32->64 s2",
       lambda a, b: jax.lax.conv_general_dilated(
@@ -67,9 +75,9 @@ def main():
     # factorized first conv over the concat volume (PSMNet dres0.0) vs the
     # naive build+conv3d it replaces
     from stereo_toolbox_tpu.ops.conv3d import conv3d_concat_volume
-    l32 = jax.random.normal(key, (1, H, W, 32), DTYPE)
-    r32 = jax.random.normal(jax.random.PRNGKey(7), (1, H, W, 32), DTYPE)
-    k64 = jax.random.normal(key, (3, 3, 3, 64, 32), DTYPE)
+    l32 = randn(key, (1, H, W, 32), DTYPE)
+    r32 = randn(jax.random.PRNGKey(7), (1, H, W, 32), DTYPE)
+    k64 = randn(key, (3, 3, 3, 64, 32), DTYPE)
     fl = 2 * 27 * 64 * 32 * D * H * W
     t("concat-vol conv naive (build+conv3d)",
       lambda a, b, kk: jax.lax.conv_general_dilated(
@@ -81,14 +89,14 @@ def main():
       flops=fl)
 
     # volume builds: 320ch gwc (GwcNet) and 32ch concat (PSMNet)
-    f320 = jax.random.normal(key, (1, H, W, 320), DTYPE)
+    f320 = randn(key, (1, H, W, 320), DTYPE)
     t("gwc volume XLA (320c, 40g)",
       lambda a, b: ops.build_gwc_volume(a, b, D, 40), f320, f320)
     t("gwc volume Pallas (320c, 40g)",
       lambda a, b: build_gwc_volume_pallas(a, b, D, 40, block_h=1),
       f320, f320)
 
-    f32 = jax.random.normal(key, (1, H, W, 32), DTYPE)
+    f32 = randn(key, (1, H, W, 32), DTYPE)
     t("concat volume XLA (32c)",
       lambda a, b: ops.build_concat_volume(a, b, D), f32, f32)
     t("concat volume Pallas (32c)",
