@@ -25,15 +25,21 @@ from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.models.cfnet import (CFBasicBlock, HourglassMish,
                                              mish)
 from stereo_toolbox_tpu.nn.layers import ConvBNAct, ConvTransposeBN
-from stereo_toolbox_tpu.ops.sampling import warp_right_to_left
+from stereo_toolbox_tpu.ops.sampling import bilinear_sampler, coords_grid
 
 
 def signed_correlation_volume(left: jax.Array, right: jax.Array,
                               radius: int) -> jax.Array:
     """Mean-correlation at signed offsets -radius..radius.
 
-    Parity: models/PCWNet/submodule (build_corrleation_volume with 1 group):
-    out[..., k] = mean_c left[w] * right[w - (k - radius)], zeros outside.
+    Exact parity with the reference's `build_corrleation_volume`
+    (models/PCWNet/submodule.py:121-135), INCLUDING its negative-offset
+    slice bug: for i < 0 the reference writes ``volume[..., :-i] =
+    corr(ref[..., :-i], target[..., i:])`` — with i negative, ``:-i`` is
+    the first |i| columns, so the left image's leading columns are
+    correlated against the right image's trailing columns (the intended
+    slice was ``:i``). Published checkpoints were trained with this
+    behavior, so imports must reproduce it.
 
     Returns ``[B, H, W, 2*radius+1]``.
     """
@@ -44,8 +50,9 @@ def signed_correlation_volume(left: jax.Array, right: jax.Array,
             prod = (left[:, :, off:] * right[:, :, :w - off]).mean(-1)
             prod = jnp.pad(prod, ((0, 0), (0, 0), (off, 0)))
         elif off < 0:
-            prod = (left[:, :, :w + off] * right[:, :, -off:]).mean(-1)
-            prod = jnp.pad(prod, ((0, 0), (0, 0), (0, -off)))
+            k = -off
+            prod = (left[:, :, :k] * right[:, :, w - k:]).mean(-1)
+            prod = jnp.pad(prod, ((0, 0), (0, 0), (0, w - k)))
         else:
             prod = (left * right).mean(-1)
         outs.append(prod)
@@ -247,8 +254,17 @@ class PCWNet(nn.Module):
                                align_corners=True)
         rf_r = ops.interpolate(fr["finetune_feature"], (H, W), (1, 2),
                                align_corners=True)
-        warped, wmask = warp_right_to_left(rf_r, pred3, return_mask=True)
-        warped = warped * (wmask >= 0.999)[..., None]
+        # the reference warp normalizes by (W-1)/(H-1) but grid_samples with
+        # align_corners=False (submodule.py:136-176), so the effective sample
+        # position is (x - d)·W/(W-1) - 0.5 (and y·H/(H-1) - 0.5); its mask
+        # is bilinear-sampled ones thresholded at 0.999 — reproduce exactly
+        grid = coords_grid(B, H, W, dtype=jnp.float32)
+        coords = jnp.stack(
+            [(grid[..., 0] - pred3) * (W / (W - 1.0)) - 0.5,
+             grid[..., 1] * (H / (H - 1.0)) - 0.5], axis=-1)
+        warped = bilinear_sampler(rf_r, coords)
+        wmask = bilinear_sampler(jnp.ones_like(rf_r[..., :1]), coords)
+        warped = warped * (wmask >= 0.999)
         corr = signed_correlation_volume(rf_l, warped, self.refine_radius)
         pred3_feat = ConvBNAct(32, 1, padding=0, act=mish, dtype=dt,
                                name="dispupsample")(pred3[..., None], train)

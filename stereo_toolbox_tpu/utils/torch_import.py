@@ -424,6 +424,101 @@ def convert_cfnet(sd: dict) -> tuple[dict, list]:
                                    "combine1.combine3", "combine1.redir3"))
 
 
+def convert_pcwnet(sd: dict) -> tuple[dict, list]:
+    """Reference PCWNet_G/_GC (models/PCWNet/pcwnet.py:311-512) → our PCWNet
+    variables. The concat heads exist only for _GC."""
+    b = _Builder(sd)
+    fe = "feature_extraction"
+    for i in range(3):
+        b.convbn(f"{fe}/ConvBNAct_{i}", f"{fe}.firstconv.{2 * i}.0",
+                 f"{fe}.firstconv.{2 * i}.1")
+
+    def mish_block(f, t, downsample):
+        b.convbn(f"{f}/ConvBNAct_0", f"{t}.conv1.0.0", f"{t}.conv1.0.1")
+        b.convbn(f"{f}/ConvBNAct_1", f"{t}.conv2.0", f"{t}.conv2.1")
+        if downsample:
+            b.convbn(f"{f}/ConvBNAct_2", f"{t}.downsample.0",
+                     f"{t}.downsample.1")
+
+    # trunk: Mish BasicBlocks; layer4 is the dilated stage (pcwnet.py:25-34)
+    n = 0
+    for layer, blocks, down in (("layer1", 3, False), ("layer2", 16, True),
+                                ("layer3", 3, True)):
+        for blk in range(blocks):
+            mish_block(f"{fe}/CFBasicBlock_{n}", f"{fe}.{layer}.{blk}",
+                       down and blk == 0)
+            n += 1
+    for blk in range(3):
+        mish_block(f"{fe}/_DilatedBlock_{blk}", f"{fe}.layer4.{blk}", False)
+    for layer in ("layer5", "layer7", "layer9"):
+        for blk in range(3):
+            mish_block(f"{fe}/CFBasicBlock_{n}", f"{fe}.{layer}.{blk}",
+                       blk == 0)
+            n += 1
+
+    # per-scale gw / concat heads; torch names the 1/4 ones layer11/lastconv
+    heads = [("gw1", "layer11"), ("gw2", "gw2"), ("gw3", "gw3"),
+             ("gw4", "gw4")]
+    if f"{fe}.lastconv.0.0.weight" in sd:  # _GC
+        heads += [("concat1", "lastconv"), ("concat2", "concat2"),
+                  ("concat3", "concat3"), ("concat4", "concat4")]
+    for ours, t in heads:
+        b.convbn(f"{fe}/{ours}_0", f"{fe}.{t}.0.0", f"{fe}.{t}.0.1")
+        b.conv(f"{fe}/{ours}_1", f"{fe}.{t}.2")
+    b.convbn(f"{fe}/refine_0", f"{fe}.layer_refine.0.0",
+             f"{fe}.layer_refine.0.1")
+    b.convbn(f"{fe}/refine_1", f"{fe}.layer_refine.2.0",
+             f"{fe}.layer_refine.2.1")
+
+    # dres0/dres1
+    b.convbn("ConvBNAct_0", "dres0.0.0", "dres0.0.1")
+    b.convbn("ConvBNAct_1", "dres0.2.0", "dres0.2.1")
+    b.convbn("ConvBNAct_2", "dres1.0.0", "dres1.0.1")
+    b.convbn("ConvBNAct_3", "dres1.2.0", "dres1.2.1")
+
+    # three-scale fusing hourglassup (pcwnet.py:133-209)
+    hu = "combine1"
+    b.conv(f"{hu}/Conv_0", "combine1.conv1")
+    b.convbn(f"{hu}/combine1", "combine1.combine1.0.0",
+             "combine1.combine1.0.1")
+    b.convbn(f"{hu}/ConvBNAct_0", "combine1.conv2.0.0", "combine1.conv2.0.1")
+    b.conv(f"{hu}/Conv_1", "combine1.conv3")
+    b.convbn(f"{hu}/combine2", "combine1.combine2.0.0",
+             "combine1.combine2.0.1")
+    b.convbn(f"{hu}/ConvBNAct_1", "combine1.conv4.0.0", "combine1.conv4.0.1")
+    b.conv(f"{hu}/Conv_2", "combine1.conv5")
+    b.convbn(f"{hu}/combine3", "combine1.combine3.0.0",
+             "combine1.combine3.0.1")
+    b.convbn(f"{hu}/ConvBNAct_2", "combine1.conv6.0.0", "combine1.conv6.0.1")
+    for i, (tc, rc, ci) in enumerate((("conv7", "redir3", 3),
+                                      ("conv8", "redir2", 4),
+                                      ("conv9", "redir1", 5))):
+        b.conv_transpose(f"{hu}/ConvTransposeBN_{i}/ConvTranspose_0",
+                         f"combine1.{tc}.0")
+        b.bn(f"{hu}/ConvTransposeBN_{i}/BatchNorm_0", f"combine1.{tc}.1")
+        b.convbn(f"{hu}/ConvBNAct_{ci}", f"combine1.{rc}.0",
+                 f"combine1.{rc}.1")
+
+    for i, hg in enumerate(("dres2", "dres3", "dres4")):
+        _mish_hourglass(b, f"HourglassMish_{i}", hg)
+
+    for cl in ("classif0", "classif1", "classif2", "classif3", "classif4"):
+        b.convbn(f"{cl}_conv", f"{cl}.0.0", f"{cl}.0.1")
+        b.conv(f"{cl}_out", f"{cl}.2")
+
+    # full-res refinement (pcwnet.py:254-309, :441-480)
+    b.convbn("dispupsample", "dispupsample.0.0", "dispupsample.0.1")
+    rf = "refinenet3"
+    for i in range(4):
+        b.convbn(f"{rf}/ConvBNAct_{i}", f"{rf}.conv{i + 1}.0.0",
+                 f"{rf}.conv{i + 1}.0.1")
+    for i, tc in enumerate(("conv5", "conv6", "conv7")):
+        mish_block(f"{rf}/_DilatedBlock_{i}", f"{rf}.{tc}.0", True)
+    b.conv(f"{rf}/Conv_0", f"{rf}.conv8")
+
+    return b.finish()
+
+
 def _raft_res(b: _Builder, flax_path: str, torch_path: str, norm: str,
               downsample: bool) -> None:
     """Reference RAFTStereo ResidualBlock (models/RAFTStereo/extractor.py:6-60)
@@ -849,6 +944,8 @@ CONVERTERS = {
     "GwcNet_GC": convert_gwcnet,
     "ACVNet": convert_acvnet,
     "CFNet": convert_cfnet,
+    "PCWNet_G": convert_pcwnet,
+    "PCWNet_GC": convert_pcwnet,
     "RAFTStereo": convert_raft_stereo,
     "IGEVStereo": convert_igev_stereo,
     "SelectiveRAFT": convert_selective_raft,

@@ -317,3 +317,48 @@ def test_cfnet_parity(ref_models):
     assert np.median(d) < 5e-3, np.median(d)
     assert np.quantile(d, 0.9) < 0.1, np.quantile(d, 0.9)
     assert d.mean() < 0.05, d.mean()
+
+
+@pytest.mark.parametrize("variant", ["PCWNet_GC"])
+def test_pcwnet_parity(ref_models, variant):
+    from stereo_toolbox_tpu import models as our
+
+    x, y = _stereo_pair(96, 160, seed=10)
+    m = ref_models.PCWNet_GC(192) if variant == "PCWNet_GC" else \
+        ref_models.PCWNet_G(192)
+
+    # the reference warp builds its grid with tensor.get_device()
+    # (CUDA-only); patch a device-agnostic clone with identical math
+    # (PCWNet/submodule.py:136-176, incl. align_corners=False sampling)
+    import stereo_toolbox.models.PCWNet.pcwnet as _pcw
+
+    def _cpu_warp(xx_t, disp):
+        B, C, H, W = xx_t.size()
+        xs = torch.arange(0, W).view(1, -1).repeat(H, 1)
+        ys = torch.arange(0, H).view(-1, 1).repeat(1, W)
+        xs = xs.view(1, 1, H, W).repeat(B, 1, 1, 1).float()
+        ys = ys.view(1, 1, H, W).repeat(B, 1, 1, 1).float()
+        vgrid = torch.cat((xs - disp, ys), 1)
+        vgrid[:, 0] = 2.0 * vgrid[:, 0].clone() / max(W - 1, 1) - 1.0
+        vgrid[:, 1] = 2.0 * vgrid[:, 1].clone() / max(H - 1, 1) - 1.0
+        vgrid = vgrid.permute(0, 2, 3, 1)
+        output = torch.nn.functional.grid_sample(xx_t, vgrid)
+        mask = torch.ones(xx_t.size())
+        mask = torch.nn.functional.grid_sample(mask, vgrid)
+        mask[mask < 0.999] = 0
+        mask[mask > 0] = 1
+        return output * mask
+
+    _orig_warp = _pcw.warp
+    _pcw.warp = _cpu_warp
+    try:
+        t = _settle_bn_and_eval(m, x, y).squeeze().numpy()
+    finally:
+        _pcw.warp = _orig_warp
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run(variant, getattr(our, variant)(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
