@@ -29,7 +29,29 @@ import jax
 import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
-from stereo_toolbox_tpu.nn.layers import ConvBNAct, avg_pool
+from stereo_toolbox_tpu.nn.layers import BatchStatNorm, avg_pool
+
+
+class SConvBN(nn.Module):
+    """Conv → batch-stat BN → optional ReLU. Every STTR BatchNorm runs with
+    ``track_running_stats=False`` (sttr.py `_disable_batchnorm_tracking`), so
+    normalization always uses the current batch's statistics."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    relu: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # batch-stat BN has no train/eval distinction
+        k = (self.kernel_size, self.kernel_size)
+        p = (self.kernel_size - 1) // 2
+        x = nn.Conv(self.features, k, strides=self.strides,
+                    padding=((p, p), (p, p)), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = BatchStatNorm(dtype=self.dtype)(x)
+        return nn.relu(x) if self.relu else x
 
 
 class STTRResBlock(nn.Module):
@@ -40,13 +62,13 @@ class STTRResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = ConvBNAct(self.features, 3, self.strides,
-                        dtype=self.dtype)(x, train)
-        out = ConvBNAct(self.features, 3, 1, act=None,
-                        dtype=self.dtype)(out, train)
+        out = SConvBN(self.features, 3, self.strides,
+                      dtype=self.dtype)(x, train)
+        out = SConvBN(self.features, 3, 1, relu=False,
+                      dtype=self.dtype)(out, train)
         if self.strides != 1 or x.shape[-1] != self.features:
-            x = ConvBNAct(self.features, 1, self.strides, padding=0,
-                          act=None, dtype=self.dtype)(x, train)
+            x = SConvBN(self.features, 1, self.strides, relu=False,
+                        dtype=self.dtype)(x, train)
         return nn.relu(out + x)
 
 
@@ -58,9 +80,9 @@ class SppBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         h, w = x.shape[1:3]
-        out = ConvBNAct(16, 3, 2, dtype=dt)(x, train)
-        out = ConvBNAct(16, 3, 1, dtype=dt)(out, train)
-        out = ConvBNAct(32, 3, 1, dtype=dt)(out, train)
+        out = SConvBN(16, 3, 2, dtype=dt)(x, train)
+        out = SConvBN(16, 3, 1, dtype=dt)(out, train)
+        out = SConvBN(32, 3, 1, dtype=dt)(out, train)
         o1 = STTRResBlock(64, 2, dtype=dt)(out, train)
         for _ in range(2):
             o1 = STTRResBlock(64, 1, dtype=dt)(o1, train)
@@ -73,7 +95,7 @@ class SppBackbone(nn.Module):
         for pool in (16, 8, 4, 2):
             p = (min(pool, o2.shape[1]), min(pool, o2.shape[2]))
             b = avg_pool(o2, p, p)
-            b = ConvBNAct(32, 1, padding=0, dtype=dt)(b, train)
+            b = SConvBN(32, 1, dtype=dt)(b, train)
             branches.append(ops.interpolate(b, (hs, ws), (1, 2),
                                             align_corners=False))
         o3 = jnp.concatenate(branches, -1)
@@ -90,12 +112,10 @@ class DenseBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         g = self.growth_rate
         for _ in range(self.num_layers):
-            h = nn.BatchNorm(use_running_average=not train,
-                             dtype=self.dtype)(x)
+            h = BatchStatNorm(dtype=self.dtype)(x)
             h = nn.relu(h)
             h = nn.Conv(4 * g, (1, 1), use_bias=False, dtype=self.dtype)(h)
-            h = nn.BatchNorm(use_running_average=not train,
-                             dtype=self.dtype)(h)
+            h = BatchStatNorm(dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Conv(g, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype)(h)
@@ -136,13 +156,13 @@ class Tokenizer(nn.Module):
         # final: ×4 up to full res, concat the image, DoubleConv
         x = nn.ConvTranspose(self.hidden_dim, (3, 3), strides=(2, 2),
                              padding="VALID", use_bias=False, dtype=dt)(out)
-        x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
+        x = BatchStatNorm(dtype=dt)(x)
         x = nn.ConvTranspose(self.hidden_dim, (3, 3), strides=(2, 2),
                              padding="VALID", dtype=dt)(x)
         x = _center_crop(x, img.shape[1], img.shape[2])
         x = jnp.concatenate([x, img], -1)
-        x = ConvBNAct(self.hidden_dim, 3, dtype=dt)(x, train)
-        x = ConvBNAct(self.hidden_dim, 3, dtype=dt)(x, train)
+        x = SConvBN(self.hidden_dim, 3, dtype=dt)(x, train)
+        x = SConvBN(self.hidden_dim, 3, dtype=dt)(x, train)
         return x
 
 

@@ -261,6 +261,30 @@ class ConcatVolumeConvBNAct(nn.Module):
         return nn.relu(x)
 
 
+class BatchStatNorm(nn.Module):
+    """BatchNorm that ALWAYS normalizes with the current batch's statistics
+    and keeps no running stats — torch BN with ``track_running_stats=False``
+    (STTR disables tracking on every BN, models/STTR/sttr.py
+    `_disable_batchnorm_tracking`: "acts as InstanceNorm with affine when
+    batch size is 1"). Params are ``scale``/``bias`` only."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x.astype(jnp.float32), axis=axes)
+        var = jnp.var(x.astype(jnp.float32), axis=axes)
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 def torch_transpose_padding(kernel: Sequence[int],
                             strides: Sequence[int]) -> tuple:
     """Per-dim (lo, hi) flax ConvTranspose padding matching torch's

@@ -145,6 +145,29 @@ class _Builder:
         _set(self.params, f"{flax_path}/out/bias",
              self._take(f"{torch_prefix}.proj.bias"))
 
+    def bn_affine(self, flax_path: str, torch_prefix: str) -> None:
+        """BN with track_running_stats=False (STTR) → BatchStatNorm params
+        (scale/bias only, no batch_stats)."""
+        _set(self.params, f"{flax_path}/scale",
+             self._take(f"{torch_prefix}.weight"))
+        _set(self.params, f"{flax_path}/bias",
+             self._take(f"{torch_prefix}.bias"))
+
+    def conv_wn(self, flax_path: str, torch_prefix: str,
+                bias: bool = True) -> None:
+        """torch weight_norm conv (weight_g/weight_v) → plain flax kernel:
+        w = g · v / ||v|| with the norm over all non-output dims."""
+        g = self._take(f"{torch_prefix}.weight_g")
+        v = self._take(f"{torch_prefix}.weight_v")
+        axes = tuple(range(1, v.ndim))
+        w = g * v / np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+        rank = w.ndim - 2
+        perm = tuple(range(2, 2 + rank)) + (1, 0)
+        _set(self.params, f"{flax_path}/kernel", w.transpose(perm))
+        if bias:
+            _set(self.params, f"{flax_path}/bias",
+                 self._take(f"{torch_prefix}.bias"))
+
     def convbn(self, flax_prefix: str, torch_conv: str,
                torch_bn: str) -> None:
         """Reference convbn/convbn_3d Sequential (PSMNet submodule.py:10-18)
@@ -422,6 +445,104 @@ def convert_cfnet(sd: dict) -> tuple[dict, list]:
     # (cfnet.py:206-231)
     return b.finish(expect_unused=("num_batches_tracked",
                                    "combine1.combine3", "combine1.redir3"))
+
+
+def convert_sttr(sd: dict) -> tuple[dict, list]:
+    """Reference STTR (models/STTR/sttr.py:17-145, default 'ot' config) →
+    our STTR variables. All BNs are affine-only (track_running_stats=False,
+    sttr.py `_disable_batchnorm_tracking`) and the CAL convs use weight_norm
+    (context_adjustment_layer.py:20-31) — folded at conversion."""
+    b = _Builder(sd)
+
+    def sconv(f, tc, tb):
+        b.conv(f"{f}/Conv_0", tc)
+        b.bn_affine(f"{f}/BatchStatNorm_0", tb)
+
+    # backbone (feat_extractor_backbone.py:15-103)
+    bb = "backbone"
+    for i in range(3):
+        sconv(f"{bb}/SConvBN_{i}", f"{bb}.in_conv.{3 * i}",
+              f"{bb}.in_conv.{3 * i + 1}")
+    n = 0
+    for res in ("resblock_1", "resblock_2"):
+        for blk in range(3):
+            f = f"{bb}/STTRResBlock_{n}"
+            t = f"{bb}.{res}.{blk}"
+            sconv(f"{f}/SConvBN_0", f"{t}.conv1", f"{t}.bn1")
+            sconv(f"{f}/SConvBN_1", f"{t}.conv2", f"{t}.bn2")
+            if blk == 0:
+                sconv(f"{f}/SConvBN_2", f"{t}.downsample.0",
+                      f"{t}.downsample.1")
+            n += 1
+    for i in range(4):
+        sconv(f"{bb}/SConvBN_{3 + i}", f"{bb}.branch{i + 1}.1",
+              f"{bb}.branch{i + 1}.2")
+
+    # tokenizer (feat_extractor_tokenizer.py:62-117)
+    tk = "tokenizer"
+
+    def dense_block(f, t, layers=4):
+        for j in range(layers):
+            tl = f"{t}.denselayer{j + 1}"
+            b.bn_affine(f"{f}/BatchStatNorm_{2 * j}", f"{tl}.norm1")
+            b.conv(f"{f}/Conv_{2 * j}", f"{tl}.conv1")
+            b.bn_affine(f"{f}/BatchStatNorm_{2 * j + 1}", f"{tl}.norm2")
+            b.conv(f"{f}/Conv_{2 * j + 1}", f"{tl}.conv2")
+
+    dense_block(f"{tk}/DenseBlock_0", f"{tk}.bottle_neck")
+    b.conv_transpose(f"{tk}/ConvTranspose_0", f"{tk}.up.0.convTrans",
+                     bias=True)
+    dense_block(f"{tk}/DenseBlock_1", f"{tk}.dense_block.0")
+    b.conv_transpose(f"{tk}/ConvTranspose_1", f"{tk}.up.1.convTrans",
+                     bias=True)
+    dense_block(f"{tk}/DenseBlock_2", f"{tk}.dense_block.1")
+    b.conv_transpose(f"{tk}/ConvTranspose_2", f"{tk}.up.2.convTrans.0")
+    b.bn_affine(f"{tk}/BatchStatNorm_0", f"{tk}.up.2.convTrans.1")
+    b.conv_transpose(f"{tk}/ConvTranspose_3", f"{tk}.up.2.convTrans.2",
+                     bias=True)
+    sconv(f"{tk}/SConvBN_0", f"{tk}.dense_block.2.double_conv.0",
+          f"{tk}.dense_block.2.double_conv.1")
+    sconv(f"{tk}/SConvBN_1", f"{tk}.dense_block.2.double_conv.3",
+          f"{tk}.dense_block.2.double_conv.4")
+
+    # transformer (transformer.py:17-230): per-layer shared-view self attn
+    # and cross attn; torch nn.MultiheadAttention in_proj is [3C, C] → our
+    # in_proj_w is its transpose
+    tr = "transformer"
+    for i in range(6):
+        for ours, t in ((f"self_attn_{i}",
+                         f"{tr}.self_attn_layers.{i}.self_attn"),
+                        (f"cross_attn_{i}",
+                         f"{tr}.cross_attn_layers.{i}.cross_attn")):
+            _set(b.params, f"{tr}/{ours}/in_proj_w",
+                 b._take(f"{t}.in_proj_weight").T)
+            _set(b.params, f"{tr}/{ours}/in_proj_b",
+                 b._take(f"{t}.in_proj_bias"))
+            b.dense(f"{tr}/{ours}/out_proj", f"{t}.out_proj")
+        b.layernorm(f"{tr}/self_norm_{i}",
+                    f"{tr}.self_attn_layers.{i}.norm1")
+        b.layernorm(f"{tr}/cross_norm1_{i}",
+                    f"{tr}.cross_attn_layers.{i}.norm1")
+        b.layernorm(f"{tr}/cross_norm2_{i}",
+                    f"{tr}.cross_attn_layers.{i}.norm2")
+
+    # regression head: dustbin cost + context adjustment layer
+    _set(b.params, "phi", b._take("regression_head.phi").reshape(1))
+    cal = "cal"
+    tcal = "regression_head.cal"
+    b.conv(f"{cal}/Conv_0", f"{tcal}.in_conv", bias=True)
+    for i in range(8):
+        b.conv_wn(f"{cal}/res{i}_a", f"{tcal}.layers.{i}.module.0")
+        b.conv_wn(f"{cal}/res{i}_b", f"{tcal}.layers.{i}.module.2")
+    b.conv(f"{cal}/Conv_1", f"{tcal}.out_conv", bias=True)
+    for fi, ti in ((2, 0), (3, 1), (4, 3), (5, 4)):
+        b.conv_wn(f"{cal}/Conv_{fi}", f"{tcal}.occ_head.{ti}")
+    b.conv(f"{cal}/Conv_6", f"{tcal}.occ_head.6", bias=True)
+
+    # transformer.norm is registered but unused by the forward
+    # (transformer.py:31 vs :37-116)
+    return b.finish(expect_unused=("num_batches_tracked",
+                                   "transformer.norm."))
 
 
 def convert_pcwnet(sd: dict) -> tuple[dict, list]:
@@ -944,6 +1065,7 @@ CONVERTERS = {
     "GwcNet_GC": convert_gwcnet,
     "ACVNet": convert_acvnet,
     "CFNet": convert_cfnet,
+    "STTR": convert_sttr,
     "PCWNet_G": convert_pcwnet,
     "PCWNet_GC": convert_pcwnet,
     "RAFTStereo": convert_raft_stereo,

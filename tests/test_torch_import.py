@@ -362,3 +362,23 @@ def test_pcwnet_parity(ref_models, variant):
     assert p.shape == t.shape
     assert np.abs(p - t).mean() < 5e-3
     assert np.abs(p - t).max() < 0.1
+
+
+def test_sttr_parity(ref_models):
+    from stereo_toolbox_tpu.models import STTR
+
+    # STTR's BNs run with track_running_stats=False, so plain eval-mode
+    # forwards are directly comparable (no BN settling needed)
+    x, y = _stereo_pair(144, 240, seed=11)
+    m = ref_models.STTR()
+    m.eval()
+    with torch.no_grad():
+        t = m(x, y)
+        t = (t["disp_pred"] if isinstance(t, dict) else t).squeeze().numpy()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("STTR", STTR(), sd, x, y)[0]
+
+    assert p.shape == t.shape
+    assert np.abs(p - t).mean() < 5e-3
+    assert np.abs(p - t).max() < 0.1
