@@ -2,7 +2,7 @@
 
 Re-runs the fully-deterministic `tools/train_golden.py` recipe (seeded
 synthetic data, XLA CPU) and lets `evaluation._write_back` assert the eval
-metrics against the committed `GOLDEN_PSMNET.json` — the fail-capable
+metrics against the committed `GOLDEN_METRICS.json` — the fail-capable
 version of the reference's checkpoint metric write-back
 (evaluation/sceneflow_test.py:49-56).
 """
@@ -16,7 +16,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GOLDEN = os.path.join(ROOT, "GOLDEN_PSMNET.json")
+GOLDEN = os.path.join(ROOT, "GOLDEN_METRICS.json")
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN),

@@ -382,3 +382,30 @@ def test_sttr_parity(ref_models):
     assert p.shape == t.shape
     assert np.abs(p - t).mean() < 5e-3
     assert np.abs(p - t).max() < 0.1
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("MonSter", {"train_iters": 2, "valid_iters": 2}),
+    ("FoundationStereo_S", {"train_iters": 2, "valid_iters": 2}),
+    ("StereoAnywhere", {"train_iters": 2, "valid_iters": 2}),
+])
+def test_graft_dav2_other_foundation_models(ref_models, name, kwargs):
+    """Every foundation-tier model's DAv2 scope accepts a converted trunk
+    (DAV2_SCOPES stays in sync with the model trees)."""
+    import jax
+    import jax.numpy as jnp
+    from stereo_toolbox_tpu.models import create_model
+    from stereo_toolbox_tpu.utils.torch_import import graft_dav2_trunk
+
+    torch.manual_seed(12)
+    m = ref_models.DepthAnythingV2(encoder="vits", features=64,
+                                   out_channels=[48, 96, 192, 384])
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    model = create_model(name, **kwargs)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, x, train=False)
+
+    new_vars, skipped = graft_dav2_trunk(name, variables, sd)
+    assert not [s for s in skipped if "/pretrained/" in s], skipped[:5]

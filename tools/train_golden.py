@@ -2,7 +2,7 @@
 
 The first in-tree accuracy artifact (round-2 verdict item 3): a short,
 fully-seeded CPU training run whose SceneFlow-protocol eval metrics are
-committed as `GOLDEN_PSMNET.json`. Re-running this script reproduces the
+committed as `GOLDEN_METRICS.json`. Re-running this script reproduces the
 run bit-for-bit (XLA CPU is deterministic, the synthetic dataset is
 seed-indexed) and `evaluation._write_back` ASSERTS on drift beyond 1e-3 —
 the regression-gate role of the reference's checkpoint metric write-back
@@ -23,21 +23,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GOLDEN = os.path.join(ROOT, "GOLDEN_PSMNET.json")
+GOLDEN = os.path.join(ROOT, "GOLDEN_METRICS.json")
 
 
-def run(steps: int = 120, write_json: str = GOLDEN):
+def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
     import numpy as np
     from stereo_toolbox_tpu.datasets.base import SyntheticStereoDataset
     from stereo_toolbox_tpu.datasets.loader import DataLoader
     from stereo_toolbox_tpu.evaluation import make_apply, sceneflow_test
-    from stereo_toolbox_tpu.models import PSMNet
+    from stereo_toolbox_tpu.models import PSMNet, RAFTStereo
     from stereo_toolbox_tpu.trainer import (TrainConfig, init_train_state,
                                             make_train_step)
 
-    config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
-                         clip_grad=1.0)
-    model = PSMNet(max_disp=48)
+    if model_name == "raft_stereo":
+        # sequence (RAFT-weighted) loss; short recurrence for CPU runtime
+        config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
+                             clip_grad=1.0)
+        model = RAFTStereo(train_iters=4, valid_iters=4)
+    else:
+        config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
+                             clip_grad=1.0)
+        model = PSMNet(max_disp=48)
 
     train_ds = SyntheticStereoDataset(num_samples=16, height=80, width=112,
                                       max_disp=24, training=True,
@@ -73,7 +79,11 @@ def run(steps: int = 120, write_json: str = GOLDEN):
     metrics = sceneflow_test(apply_fn, variables, val_loader,
                              maxdisp=config.max_disp,
                              write_json=write_json,
-                             write_key=f"synthetic_sceneflow_protocol_{steps}steps")
+                             write_key=(
+                                 f"synthetic_sceneflow_protocol_{steps}steps"
+                                 if model_name == "psmnet" else
+                                 f"{model_name}_synthetic_sceneflow_"
+                                 f"protocol_{steps}steps"))
     print("eval:", metrics, flush=True)
     return metrics
 
@@ -82,5 +92,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--out", default=GOLDEN)
+    ap.add_argument("--model", default="psmnet",
+                    choices=["psmnet", "raft_stereo"])
     a = ap.parse_args()
-    run(a.steps, a.out)
+    run(a.steps, a.out, a.model)
