@@ -26,6 +26,17 @@ from stereo_toolbox_tpu.ops.corr import (
     all_pairs_correlation,
     build_corr_pyramid,
     corr_lookup_1d,
+    corr_lookup_1d_alt,
+    build_volume_pyramid,
+    volume_lookup_1d,
+)
+from stereo_toolbox_tpu.ops.conv3d import (
+    conv3d_via_2d,
+    conv3d_concat_volume,
+)
+from stereo_toolbox_tpu.ops.dcn import (
+    deform_conv2d,
+    bilinear_gather_2d,
 )
 from stereo_toolbox_tpu.ops.upsample import (
     interpolate,
@@ -58,6 +69,13 @@ __all__ = [
     "all_pairs_correlation",
     "build_corr_pyramid",
     "corr_lookup_1d",
+    "corr_lookup_1d_alt",
+    "build_volume_pyramid",
+    "volume_lookup_1d",
+    "conv3d_via_2d",
+    "conv3d_concat_volume",
+    "deform_conv2d",
+    "bilinear_gather_2d",
     "interpolate",
     "upsample_disp_bilinear",
     "convex_upsample",

@@ -8,7 +8,13 @@ seed-indexed) and `evaluation._write_back` ASSERTS on drift beyond 1e-3 —
 the regression-gate role of the reference's checkpoint metric write-back
 (evaluation/sceneflow_test.py:49-56), made fail-capable.
 
-Usage: python tools/train_golden.py  [--steps 120]
+The recipe is deterministic PER CODE VERSION: any change to the model's
+compute graph (even fp-reassociation-level, e.g. a conv lowering swap)
+diverges training chaotically over the run — when the gate fires after an
+intentional change, delete the affected keys and rerun this script to
+re-record them.
+
+Usage: python tools/train_golden.py  [--steps 120] [--model raft_stereo]
 """
 
 import argparse
@@ -16,6 +22,13 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# match tests/conftest.py exactly — the XLA CPU topology (virtual device
+# count) changes reduction partitioning and therefore the fp-exact
+# trajectory; goldens are only reproducible under one fixed topology
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
