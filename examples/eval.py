@@ -104,6 +104,10 @@ def main():
         evaluation.speed_and_memory_test(apply_fn, variables)
         return
 
+    if args.root is None:
+        ap.error(f"--root is required for the data-driven "
+                 f"'{args.suite}' suite (dataset root directory)")
+
     from stereo_toolbox_tpu.datasets import zoo
 
     def loader(ds):

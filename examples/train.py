@@ -55,6 +55,11 @@ def parse_args():
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--log-dir", default=None,
                    help="TensorBoard/JSONL scalar directory")
+    p.add_argument("--loss", default=None,
+                   choices=("sequence", "multihead", "selfsup"),
+                   help="override the loss mode; 'selfsup' trains without "
+                        "GT (photometric+smoothness+auto-mask, SURVEY §3.5)"
+                        " — use with no-GT data such as --dataset holopix50k")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one warm train step "
                         "into <log-dir>/profile")
@@ -136,7 +141,7 @@ def main():
         clip_grad=args.clip_grad, max_disp=args.maxdisp, seed=args.seed,
         ckpt_dir=args.ckpt_dir, save_every=args.save_every,
         log_dir=args.log_dir,
-        loss="sequence" if iterative else "multihead",
+        loss=args.loss or ("sequence" if iterative else "multihead"),
         loss_weights={"PSMNet": (0.5, 0.7, 1.0),
                       "ACVNet": (0.5, 0.5, 0.7, 1.0)}.get(
                           args.model, (0.5, 0.5, 0.7, 1.0)))

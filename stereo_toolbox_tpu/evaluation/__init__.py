@@ -62,6 +62,11 @@ def _write_back(write_json: str | None, key: str, value,
     if key in data:
         old = np.asarray(data[key], np.float64)
         new = np.asarray(value, np.float64)
+        if old.shape != new.shape:
+            raise AssertionError(
+                f"{key} metric vector shape changed: golden {old.shape} vs "
+                f"current {new.shape} — the metric layout is incompatible "
+                f"with the stored goldens in {write_json}; regenerate them")
         drift = float(np.max(np.abs(old - new)))
         print(f"original {key} metrics: {old.tolist()}")
         print(f"current  {key} metrics: {new.tolist()}")

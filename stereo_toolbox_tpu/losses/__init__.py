@@ -177,6 +177,63 @@ def auto_mask(left: jax.Array, right: jax.Array, disp: jax.Array,
     return reproj < identity
 
 
+def selfsup_loss(disp: jax.Array, left: jax.Array, right: jax.Array,
+                 smooth_weight: float = 0.1,
+                 imagenet_norm: bool = True) -> jax.Array:
+    """Full self-supervised objective for one disparity prediction:
+    auto-masked photometric reconstruction + edge-aware smoothness.
+
+    Composes the reference's loss_functions exactly as SURVEY §3.5
+    describes (photometric_loss.py:80-104 + auto_mask.py:7-17 +
+    smoothness_loss.py:5-43); the trainer dispatches it when
+    ``TrainConfig.loss == 'selfsup'`` so no-GT data (e.g. Holopix50k,
+    datasets/holopix50k.py) can be trained on end-to-end.
+
+    Args:
+      disp: ``[B, H, W]`` predicted left-view disparity (full res).
+      left, right: the dataloader images (ImageNet-normalized when
+        ``imagenet_norm`` — de-normalized to [0, 1] internally, the
+        reference's `de_norm` path, auto_mask.py:9-12).
+    """
+    if imagenet_norm:
+        mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
+        std = jnp.asarray(IMAGENET_STD, left.dtype)
+        left = left * std + mean
+        right = right * std + mean
+    am = auto_mask(left, right, disp)
+    photo = photometric_loss(left, right, disp)
+    loss = masked_mean(photo, am)
+    return loss + smooth_weight * smoothness_loss(disp, left)
+
+
+def selfsup_sequence_loss(outputs, left: jax.Array, right: jax.Array,
+                          smooth_weight: float = 0.1,
+                          loss_gamma: float = 0.9,
+                          imagenet_norm: bool = True) -> jax.Array:
+    """`selfsup_loss` over a model-output sequence with the RAFT
+    exponential weighting (same schedule as the supervised
+    `sequence_loss`, trainer_torchrun.py:277-284). Accepts a plain list,
+    a stacked ``[n, B, H, W]`` array, or the iterative models'
+    ``(init_disp, disp_preds)`` tuple."""
+    init_disp = None
+    if isinstance(outputs, tuple) and len(outputs) == 2:
+        init_disp, outputs = outputs
+    if isinstance(outputs, (list, tuple)):
+        preds = list(outputs)
+    else:
+        preds = [outputs[i] for i in range(outputs.shape[0])]
+    n = len(preds)
+    loss = 0.0
+    if init_disp is not None:
+        loss = selfsup_loss(init_disp, left, right, smooth_weight,
+                            imagenet_norm)
+    gamma = loss_gamma ** (15.0 / (n - 1)) if n > 1 else 1.0
+    for i, p in enumerate(preds):
+        loss = loss + (gamma ** (n - i - 1)) * selfsup_loss(
+            p, left, right, smooth_weight, imagenet_norm)
+    return loss
+
+
 def split_mode(prob: jax.Array, maxdisp: int | None = None):
     """Isolate the dominant mode of a D-axis probability volume.
 

@@ -36,8 +36,11 @@ from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
                                                    IMAGENET_STD,
                                                    MultiBasicEncoder)
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
+                                         band_offsets,
+                                         build_corr_band_pyramid,
                                          build_corr_pyramid,
-                                         build_volume_pyramid)
+                                         build_volume_pyramid,
+                                         corr_lookup_1d_banded)
 from stereo_toolbox_tpu.ops.sampling import sample_1d
 
 
@@ -143,45 +146,86 @@ class _IGEVStep(nn.Module):
     hidden_dims: Sequence[int]
     n_gru_layers: int
     corr_radius: int
+    band_offs: tuple = ()  # static — () selects the full-pyramid lookup
+    # eval protocol: upsample only when `emit` is set — the reference skips
+    # the superpixel upsample on all but the last eval iteration
+    # (igev_stereo.py:244-245), worth ~7 ms/iter at 1088×1920
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, geo_pyr, corr_pyr, contexts, x0, stem_2x):
+    def __call__(self, carry, emit, geo_pyr, corr_pyr, contexts, x0,
+                 stem_2x):
         nets, disp = carry
         disp = jax.lax.stop_gradient(disp)
         geo_feat = combined_geo_lookup(geo_pyr, corr_pyr, disp, x0,
-                                       self.corr_radius)
+                                       self.corr_radius, self.band_offs)
         nets, mask_feat, delta = IGEVUpdateBlock(
             self.hidden_dims, self.n_gru_layers, dtype=self.dtype,
             name="update_block")(nets, contexts, geo_feat, disp[..., None])
         disp = disp + delta[..., 0].astype(disp.dtype)
 
         # in-loop superpixel upsample (igev_stereo.py:160-167)
-        xspx = Conv2x(32, deconv=True, dtype=self.dtype,
-                      name="spx_2_gru")(mask_feat, stem_2x)
-        spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=self.dtype, name="spx_gru")(xspx)
-        spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
-        disp_up = ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+        spx2 = Conv2x(32, deconv=True, dtype=self.dtype, name="spx_2_gru")
+        spxc = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
+                                dtype=self.dtype, name="spx_gru")
+
+        def upsample(mask_feat, stem_2x, disp):
+            spx = spxc(spx2(mask_feat, stem_2x))
+            spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
+            return ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+
+        if not self.skip_unemitted:
+            disp_up = upsample(mask_feat, stem_2x, disp)
+        else:
+            # Param creation must happen unconditionally (outside lax.cond,
+            # else the scanned init fails with a broadcast-var dependency);
+            # a 2×2 dummy costs nothing and pins the variable structure.
+            tiny = upsample(mask_feat[:, :2, :2], stem_2x[:, :4, :4],
+                            disp[:, :2, :2])
+            zero_full = jnp.zeros(
+                disp.shape[:1] + (disp.shape[1] * 4, disp.shape[2] * 4),
+                tiny.dtype) + 0.0 * tiny.mean()
+            disp_up = jax.lax.cond(
+                emit,
+                lambda m, s, d: upsample(m, s, d),
+                lambda m, s, d: zero_full,
+                mask_feat, stem_2x, disp)
         return (nets, disp), disp_up
 
 
-def combined_geo_lookup(geo_pyr, corr_pyr, disp, x0, radius):
+def combined_geo_lookup(geo_pyr, corr_pyr, disp, x0, radius, band_offs=()):
     """Combined GEV + corr windowed lookup (geometry.py:35-59): per level,
     geo volume at disp/2^i ± dx and init corr at (x - disp)/2^i ± dx.
+
+    With ``band_offs`` set, ``corr_pyr`` holds disparity-banded relative
+    volumes (ops/corr.py `build_corr_band_pyramid`) instead of full
+    ``[B,H,W,W]`` pyramids — bitwise-equal samples at ~7× less work.
 
     Channel layout parity: the reference flattens the geo samples
     channel-major, window-minor (geometry.py:48-49: ``[bhw, c, 1, K]``
     → ``view(b, h, w, -1)``)."""
-    out = []
-    for i, (gv, cv) in enumerate(zip(geo_pyr, corr_pyr)):
+    geo_parts, corr_parts = [], []
+    for i, gv in enumerate(geo_pyr):
         dx = jnp.arange(-radius, radius + 1, dtype=disp.dtype)
         pos_d = disp[..., None] / (2.0 ** i) + dx
         v = jnp.moveaxis(gv, -1, -2)  # [B,H,W,C,D_i]
         g = sample_1d(v, pos_d[..., None, :])  # [B,H,W,C,K]
-        out.append(g.reshape(g.shape[:3] + (-1,)))  # C-major, K-minor
-        pos_c = (x0 - disp)[..., None] / (2.0 ** i) + dx
-        out.append(sample_1d(cv, pos_c))
+        geo_parts.append(g.reshape(g.shape[:3] + (-1,)))  # C-major, K-minor
+    if band_offs:
+        looked = corr_lookup_1d_banded(corr_pyr, x0 - disp, band_offs,
+                                       radius)
+        k = 2 * radius + 1
+        corr_parts = [looked[..., i * k:(i + 1) * k]
+                      for i in range(len(corr_pyr))]
+    else:
+        for i, cv in enumerate(corr_pyr):
+            dx = jnp.arange(-radius, radius + 1, dtype=disp.dtype)
+            pos_c = (x0 - disp)[..., None] / (2.0 ** i) + dx
+            corr_parts.append(sample_1d(cv, pos_c))
+    out = []
+    for g, c in zip(geo_parts, corr_parts):
+        out.extend([g, c])
     return jnp.concatenate(out, axis=-1)
 
 
@@ -194,6 +238,11 @@ class IGEVStereo(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True
+    # 'banded' relative corr volumes (default) vs 'reg' full pyramids —
+    # bitwise-equal lookups for disp ∈ [-margin, max_disp + margin]
+    # (ops/corr.py `build_corr_band_pyramid`)
+    corr_impl: str = "banded"
+    band_margin: int = 32  # full-res px of slack around [0, max_disp]
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -217,13 +266,13 @@ class IGEVStereo(nn.Module):
                           dtype=self.dtype, name="stem_2b")
         stem_2n = nn.GroupNorm(num_groups=None, group_size=1,
                                use_bias=False, use_scale=False,
-                               name="stem_2n")
+                               epsilon=1e-5, name="stem_2n")
         stem_4a = BasicConvIN(48, 3, 2, dtype=self.dtype, name="stem_4a")
         stem_4b = nn.Conv(48, (3, 3), padding="SAME", use_bias=False,
                           dtype=self.dtype, name="stem_4b")
         stem_4n = nn.GroupNorm(num_groups=None, group_size=1,
                                use_bias=False, use_scale=False,
-                               name="stem_4n")
+                               epsilon=1e-5, name="stem_4n")
 
         def stem_2(x):
             return nn.relu(stem_2n(stem_2b(stem_2a(x))))
@@ -274,27 +323,40 @@ class IGEVStereo(nn.Module):
         # pyramids for the combined lookup (float32 for stable sampling)
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)  # [B,H,W,D,8]
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
-        corr = all_pairs_correlation(match_left.astype(jnp.float32),
-                                     match_right.astype(jnp.float32),
-                                     normalize=False)
-        corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
+        band_offs = ()
+        if self.corr_impl == "banded":
+            m4 = max(self.band_margin // 4, 1)
+            band_offs = band_offsets(self.corr_levels, d4,
+                                     self.corr_radius, m4)
+            corr_pyr = build_corr_band_pyramid(
+                match_left.astype(jnp.float32),
+                match_right.astype(jnp.float32), self.corr_levels, d4,
+                self.corr_radius, m4, normalize=False)
+        else:
+            corr = all_pairs_correlation(match_left.astype(jnp.float32),
+                                         match_right.astype(jnp.float32),
+                                         normalize=False)
+            corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
 
         b, h4, w4 = match_left.shape[0], match_left.shape[1], \
             match_left.shape[2]
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _IGEVStep,
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
-            in_axes=(nn.broadcast,) * 5,
+            in_axes=(0,) + (nn.broadcast,) * 5,
             out_axes=0,
             length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius,
+          band_offs=band_offs, skip_unemitted=not train,
           dtype=self.dtype, name="step")
-        (nets, disp), disp_ups = step((nets, init_disp), geo_pyr, corr_pyr,
-                                      contexts, x0, stem_2x)
+        (nets, disp), disp_ups = step((nets, init_disp), emit, geo_pyr,
+                                      corr_pyr, contexts, x0, stem_2x)
 
         if not train:
             return disp_ups[-1]
@@ -306,7 +368,8 @@ class IGEVStereo(nn.Module):
         xspx = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                        dtype=self.dtype, name="spx_4b")(xspx)
         xspx = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                            use_scale=False, name="spx_4n")(xspx)
+                            use_scale=False, epsilon=1e-5,
+                            name="spx_4n")(xspx)
         xspx = nn.relu(xspx)
         xspx = Conv2x(32, deconv=True, instance_norm=True, dtype=self.dtype,
                       name="spx_2")(xspx, stem_2x)

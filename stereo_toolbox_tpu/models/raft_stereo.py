@@ -31,8 +31,11 @@ import jax.numpy as jnp
 from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
+                                         band_offsets,
+                                         build_corr_band_pyramid,
                                          build_corr_pyramid, corr_lookup_1d,
-                                         corr_lookup_1d_alt)
+                                         corr_lookup_1d_alt,
+                                         corr_lookup_1d_banded)
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -213,12 +216,16 @@ class _RAFTStep(nn.Module):
     n_gru_layers: int
     corr_radius: int
     factor: int
-    corr_impl: str = "reg"
+    corr_impl: str = "banded"
     corr_levels: int = 4
+    band_offs: tuple = ()  # static (lo, hi) per level for 'banded'
+    # eval protocol: the reference upsamples only the last iteration
+    # (raft_stereo.py:170-171) — skip the convex blend when not emitted
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, pyramid, contexts, x0):
+    def __call__(self, carry, emit, pyramid, contexts, x0):
         nets, flow_x = carry
         flow_x = jax.lax.stop_gradient(flow_x)  # coords1.detach() (:155)
         if self.corr_impl == "alt":
@@ -227,6 +234,9 @@ class _RAFTStep(nn.Module):
             fmap1, fmap2 = pyramid
             corr = corr_lookup_1d_alt(fmap1, fmap2, x0 + flow_x,
                                       self.corr_radius, self.corr_levels)
+        elif self.corr_impl == "banded":
+            corr = corr_lookup_1d_banded(pyramid, x0 + flow_x,
+                                         self.band_offs, self.corr_radius)
         else:
             corr = corr_lookup_1d(pyramid, x0 + flow_x, self.corr_radius)
         flow = jnp.stack([flow_x, jnp.zeros_like(flow_x)], axis=-1)
@@ -235,8 +245,20 @@ class _RAFTStep(nn.Module):
             dtype=self.dtype, name="update_block")(
                 nets, contexts, corr, flow)
         flow_x = flow_x + delta[..., 0]  # epipolar: y-delta dropped (:165)
-        disp_up = ops.convex_upsample(-flow_x.astype(jnp.float32),
-                                      mask.astype(jnp.float32), self.factor)
+
+        def blend(fx, m):
+            return ops.convex_upsample(-fx.astype(jnp.float32),
+                                       m.astype(jnp.float32), self.factor)
+
+        if not self.skip_unemitted:
+            disp_up = blend(flow_x, mask)
+        else:
+            b, h, w = flow_x.shape
+            disp_up = jax.lax.cond(
+                emit, blend,
+                lambda fx, m: jnp.zeros(
+                    (b, h * self.factor, w * self.factor), jnp.float32),
+                flow_x, mask)
         return (nets, flow_x), disp_up
 
 
@@ -249,9 +271,14 @@ class RAFTStereo(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True  # inputs are ImageNet-normalized
-    # 'reg' = precomputed corr pyramid; 'alt' = memory-light per-chunk
+    # 'banded' = disparity-banded relative volumes (default; bitwise equal
+    # to 'reg' for disp ∈ [-band_margin, band_max_disp + band_margin],
+    # ~7× less lookup work and no [B,H,W,W] volume — ops/corr.py);
+    # 'reg' = full precomputed corr pyramid; 'alt' = memory-light per-chunk
     # recompute (the reference's corr_implementation, raft_stereo.py:135-144)
-    corr_impl: str = "reg"
+    corr_impl: str = "banded"
+    band_max_disp: int = 192  # full-res px; band covers disp up to this
+    band_margin: int = 32     # full-res px of slack on both sides
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -285,8 +312,16 @@ class RAFTStereo(nn.Module):
             contexts.append(tuple(jnp.split(z, 3, axis=-1)))
         contexts = tuple(contexts)
 
+        band_offs = ()
         if self.corr_impl == "alt":
             pyramid = (fmap1, fmap2)  # recomputed per step, never stored
+        elif self.corr_impl == "banded":
+            d4 = max(self.band_max_disp // factor, 1)
+            m4 = max(self.band_margin // factor, 1)
+            band_offs = band_offsets(self.corr_levels, d4,
+                                     self.corr_radius, m4)
+            pyramid = build_corr_band_pyramid(
+                fmap1, fmap2, self.corr_levels, d4, self.corr_radius, m4)
         else:
             corr = all_pairs_correlation(fmap1, fmap2)
             pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
@@ -296,17 +331,20 @@ class RAFTStereo(nn.Module):
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
         flow_x = jnp.zeros((b, h4, w4), jnp.float32)
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _RAFTStep,
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius, factor,
           corr_impl=self.corr_impl, corr_levels=self.corr_levels,
+          band_offs=band_offs, skip_unemitted=not train,
           dtype=self.dtype, name="step")
-        (nets, flow_x), disp_ups = step((nets, flow_x), pyramid,
+        (nets, flow_x), disp_ups = step((nets, flow_x), emit, pyramid,
                                         contexts, x0)
 
         if train:

@@ -38,9 +38,12 @@ from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
 from stereo_toolbox_tpu.models.igev_stereo import (GEVHourglass,
                                                    combined_geo_lookup)
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
+                                         band_offsets,
+                                         build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid,
-                                         corr_lookup_1d)
+                                         corr_lookup_1d,
+                                         corr_lookup_1d_banded)
 
 
 class ChannelAttentionEnhancement(nn.Module):
@@ -202,20 +205,39 @@ class _SelectiveRAFTStep(nn.Module):
     n_gru_layers: int
     corr_radius: int
     factor: int
+    band_offs: tuple = ()  # static — () selects the full-pyramid lookup
+    # eval: upsample only the emitted (last) iteration (raft.py:159-160)
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, pyramid, inps, atts, x0):
+    def __call__(self, carry, emit, pyramid, inps, atts, x0):
         nets, disp = carry  # disp: signed offset (coords1 - coords0)
         disp = jax.lax.stop_gradient(disp)
-        corr = corr_lookup_1d(pyramid, x0 + disp, self.corr_radius)
+        if self.band_offs:
+            corr = corr_lookup_1d_banded(pyramid, x0 + disp,
+                                         self.band_offs, self.corr_radius)
+        else:
+            corr = corr_lookup_1d(pyramid, x0 + disp, self.corr_radius)
         nets, mask, delta = SelectiveUpdateBlock(
             self.hidden_dims, self.n_gru_layers, "convex", self.factor,
             dtype=self.dtype, name="update_block")(
                 nets, inps, atts, corr, disp[..., None])
         disp = disp + delta[..., 0]
-        disp_up = ops.convex_upsample(-disp.astype(jnp.float32),
-                                      mask.astype(jnp.float32), self.factor)
+
+        def blend(d, m):
+            return ops.convex_upsample(-d.astype(jnp.float32),
+                                       m.astype(jnp.float32), self.factor)
+
+        if not self.skip_unemitted:
+            disp_up = blend(disp, mask)
+        else:
+            b, h, w = disp.shape
+            disp_up = jax.lax.cond(
+                emit, blend,
+                lambda d, m: jnp.zeros(
+                    (b, h * self.factor, w * self.factor), jnp.float32),
+                disp, mask)
         return (nets, disp), disp_up
 
 
@@ -228,6 +250,10 @@ class SelectiveRAFT(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True
+    # disparity-banded relative corr volumes by default (ops/corr.py)
+    corr_impl: str = "banded"
+    band_max_disp: int = 192
+    band_margin: int = 32
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -251,24 +277,37 @@ class SelectiveRAFT(nn.Module):
                                      name="cnet")(img1)
         nets, inps, atts = _cam_sam_context(cnet_out, self.dtype)
 
-        corr = all_pairs_correlation(fmap1, fmap2)
-        pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
+        band_offs = ()
+        if self.corr_impl == "banded":
+            d4 = max(self.band_max_disp // factor, 1)
+            m4 = max(self.band_margin // factor, 1)
+            band_offs = band_offsets(self.corr_levels, d4,
+                                     self.corr_radius, m4)
+            pyramid = build_corr_band_pyramid(
+                fmap1, fmap2, self.corr_levels, d4, self.corr_radius, m4)
+        else:
+            corr = all_pairs_correlation(fmap1, fmap2)
+            pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
 
         b, h4, w4 = fmap1.shape[:3]
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
         disp = jnp.zeros((b, h4, w4), jnp.float32)
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _SelectiveRAFTStep,
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
-            in_axes=(nn.broadcast,) * 4,
+            in_axes=(0,) + (nn.broadcast,) * 4,
             out_axes=0,
             length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius, factor,
+          band_offs=band_offs, skip_unemitted=not train,
           dtype=self.dtype, name="step")
-        (nets, disp), disp_ups = step((nets, disp), pyramid, inps, atts, x0)
+        (nets, disp), disp_ups = step((nets, disp), emit, pyramid, inps,
+                                      atts, x0)
 
         if train:
             return [disp_ups[i] for i in range(iters)]
@@ -279,26 +318,47 @@ class _SelectiveIGEVStep(nn.Module):
     hidden_dims: Sequence[int]
     n_gru_layers: int
     corr_radius: int
+    band_offs: tuple = ()  # static — () selects the full-pyramid lookup
+    # eval: upsample only the emitted (last) iteration (igev_stereo.py:242)
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, geo_pyr, corr_pyr, inps, atts, x0, stem_2x):
+    def __call__(self, carry, emit, geo_pyr, corr_pyr, inps, atts, x0,
+                 stem_2x):
         nets, disp = carry
         disp = jax.lax.stop_gradient(disp)
         geo_feat = combined_geo_lookup(geo_pyr, corr_pyr, disp, x0,
-                                       self.corr_radius)
+                                       self.corr_radius, self.band_offs)
         nets, mask_feat, delta = SelectiveUpdateBlock(
             self.hidden_dims, self.n_gru_layers, "superpixel",
             dtype=self.dtype, name="update_block")(
                 nets, inps, atts, geo_feat, disp[..., None])
         disp = disp + delta[..., 0].astype(disp.dtype)
 
-        xspx = Conv2x(32, deconv=True, dtype=self.dtype,
-                      name="spx_2_gru")(mask_feat, stem_2x)
-        spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=self.dtype, name="spx_gru")(xspx)
-        spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
-        disp_up = ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+        spx2 = Conv2x(32, deconv=True, dtype=self.dtype, name="spx_2_gru")
+        spxc = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
+                                dtype=self.dtype, name="spx_gru")
+
+        def upsample(mask_feat, stem_2x, disp):
+            spx = spxc(spx2(mask_feat, stem_2x))
+            spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
+            return ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+
+        if not self.skip_unemitted:
+            disp_up = upsample(mask_feat, stem_2x, disp)
+        else:
+            # params pinned by an unconditional tiny call (see igev_stereo)
+            tiny = upsample(mask_feat[:, :2, :2], stem_2x[:, :4, :4],
+                            disp[:, :2, :2])
+            zero_full = jnp.zeros(
+                disp.shape[:1] + (disp.shape[1] * 4, disp.shape[2] * 4),
+                tiny.dtype) + 0.0 * tiny.mean()
+            disp_up = jax.lax.cond(
+                emit,
+                lambda m, s, d: upsample(m, s, d),
+                lambda m, s, d: zero_full,
+                mask_feat, stem_2x, disp)
         return (nets, disp), disp_up
 
 
@@ -311,6 +371,9 @@ class SelectiveIGEV(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True
+    # disparity-banded relative corr volumes by default (ops/corr.py)
+    corr_impl: str = "banded"
+    band_margin: int = 32
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -339,7 +402,7 @@ class SelectiveIGEV(nn.Module):
         def inorm(x, name):
             return nn.relu(nn.GroupNorm(num_groups=None, group_size=1,
                                         use_bias=False, use_scale=False,
-                                        name=name)(x))
+                                        epsilon=1e-5, name=name)(x))
 
         stem_2x = inorm(stem_2b(stem_2a(img1)), "stem_2n")
         stem_4x = inorm(stem_4b(stem_4a(stem_2x)), "stem_4n")
@@ -377,26 +440,39 @@ class SelectiveIGEV(nn.Module):
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
         # IGEV-style corr is unnormalized (SelectiveIGEV/geometry.py:60-68)
-        corr = all_pairs_correlation(match_left.astype(jnp.float32),
-                                     match_right.astype(jnp.float32),
-                                     normalize=False)
-        corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
+        band_offs = ()
+        if self.corr_impl == "banded":
+            m4 = max(self.band_margin // 4, 1)
+            band_offs = band_offsets(self.corr_levels, d4,
+                                     self.corr_radius, m4)
+            corr_pyr = build_corr_band_pyramid(
+                match_left.astype(jnp.float32),
+                match_right.astype(jnp.float32), self.corr_levels, d4,
+                self.corr_radius, m4, normalize=False)
+        else:
+            corr = all_pairs_correlation(match_left.astype(jnp.float32),
+                                         match_right.astype(jnp.float32),
+                                         normalize=False)
+            corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
 
         b, h4, w4 = match_left.shape[:3]
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _SelectiveIGEVStep,
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
-            in_axes=(nn.broadcast,) * 6,
+            in_axes=(0,) + (nn.broadcast,) * 6,
             out_axes=0,
             length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius,
+          band_offs=band_offs, skip_unemitted=not train,
           dtype=self.dtype, name="step")
-        (nets, disp), disp_ups = step((nets, init_disp), geo_pyr, corr_pyr,
-                                      inps, atts, x0, stem_2x)
+        (nets, disp), disp_ups = step((nets, init_disp), emit, geo_pyr,
+                                      corr_pyr, inps, atts, x0, stem_2x)
 
         if not train:
             return disp_ups[-1]
@@ -407,7 +483,8 @@ class SelectiveIGEV(nn.Module):
         xspx = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                        dtype=self.dtype, name="spx_4b")(xspx)
         xspx = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                            use_scale=False, name="spx_4n")(xspx)
+                            use_scale=False, epsilon=1e-5,
+                            name="spx_4n")(xspx)
         xspx = nn.relu(xspx)
         xspx = Conv2x(32, deconv=True, instance_norm=True, dtype=self.dtype,
                       name="spx_2")(xspx, stem_2x)

@@ -24,11 +24,15 @@ from stereo_toolbox_tpu.ops.sampling import (
 )
 from stereo_toolbox_tpu.ops.corr import (
     all_pairs_correlation,
+    band_offsets,
+    build_corr_band_pyramid,
     build_corr_pyramid,
     corr_lookup_1d,
     corr_lookup_1d_alt,
+    corr_lookup_1d_banded,
     build_volume_pyramid,
     volume_lookup_1d,
+    volume_lookup_1d_chunked,
 )
 from stereo_toolbox_tpu.ops.conv3d import (
     conv3d_via_2d,
@@ -67,11 +71,15 @@ __all__ = [
     "warp_right_to_left",
     "disp_warp",
     "all_pairs_correlation",
+    "band_offsets",
+    "build_corr_band_pyramid",
     "build_corr_pyramid",
     "corr_lookup_1d",
     "corr_lookup_1d_alt",
+    "corr_lookup_1d_banded",
     "build_volume_pyramid",
     "volume_lookup_1d",
+    "volume_lookup_1d_chunked",
     "conv3d_via_2d",
     "conv3d_concat_volume",
     "deform_conv2d",

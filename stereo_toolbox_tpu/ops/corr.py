@@ -145,6 +145,123 @@ def corr_lookup_1d_alt(fmap1: jax.Array, fmap2: jax.Array, x: jax.Array,
     return out[:, :h]
 
 
+def _shift_w(a: jax.Array, k: int) -> jax.Array:
+    """out[..., w, :] = a[..., w + k, :] with zero fill (axis=2 of BHWC)."""
+    if k == 0:
+        return a
+    w = a.shape[2]
+    k = max(min(k, w), -w)
+    if k > 0:
+        return jnp.pad(a[:, :, k:], ((0, 0), (0, 0), (0, k), (0, 0)))
+    return jnp.pad(a[:, :, :w + k], ((0, 0), (0, 0), (-k, 0), (0, 0)))
+
+
+def band_offsets(num_levels: int, d_max: int, radius: int = 4,
+                 margin: int = 8) -> tuple[tuple[int, int], ...]:
+    """Static per-level (lo, hi) integer offset bounds for the banded
+    correlation volumes (see `build_corr_band_pyramid`).
+
+    Level i must cover lookup offsets ``dx - disp/2^i + frac(w/2^i)`` for
+    ``dx ∈ [-radius, radius]`` and ``disp ∈ [-margin, d_max + margin]``:
+      lo_i = -ceil((d_max + margin)/2^i) - radius
+      hi_i =  radius + 1 + ceil(margin/2^i)
+    """
+    def ceil_div(a: int, b: int) -> int:
+        return -((-a) // b)
+
+    out = []
+    for i in range(num_levels):
+        s = 2 ** i
+        lo = -ceil_div(d_max + margin, s) - radius
+        hi = radius + 1 + ceil_div(margin, s)
+        out.append((lo, hi))
+    return tuple(out)
+
+
+def build_corr_band_pyramid(fmap1: jax.Array, fmap2: jax.Array,
+                            num_levels: int, d_max: int, radius: int = 4,
+                            margin: int = 8,
+                            normalize: bool = True) -> tuple[jax.Array, ...]:
+    """Disparity-banded relative correlation volumes — the TPU-native
+    `corr_sampler` (reference models/RAFTStereo/corr.py:17-29).
+
+    Stereo lookups only ever sample the all-pairs volume within ``±radius``
+    of ``x - disp`` with ``disp ∈ [0, d_max]``, i.e. inside a ``O(d_max)``
+    diagonal band of the ``[W1, W2]`` matrix. Materializing the full volume
+    (250 MB at 1088×1920/4) and contracting the whole row per lookup is
+    ~7× wasted HBM and VPU work; instead we build, per pyramid level i, only
+    the band
+
+      band_i[b, h, w, j] = <f1[b,h,w], f2_i[b,h, floor(w/2^i) + lo_i + j]>
+
+    where ``f2_i`` is fmap2 iteratively 2×-avg-pooled along W (pooling the
+    *features* commutes with pooling the correlation — corr is linear in
+    f2, so this equals `build_corr_pyramid(all_pairs_correlation(...))[i]`
+    restricted to the band, bitwise). Out-of-image offsets are zero, exactly
+    like the zero-padded absolute lookup.
+
+    Exact-equality domain: lookups at positions ``(x0 - disp)/2^i + dx``
+    match the full-volume path bitwise whenever
+    ``-margin <= disp <= d_max + margin`` (tests/test_ops_corr.py).
+
+    Returns:
+      tuple of ``[B, H, W1, N_i]`` bands; `band_offsets` gives each level's
+      static (lo, hi) with ``N_i = hi - lo + 1``.
+    """
+    offs = band_offsets(num_levels, d_max, radius, margin)
+    c = fmap1.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32)) if normalize else 1.0
+    bands = []
+    f2 = fmap2
+    for i, (lo, hi) in enumerate(offs):
+        s = 2 ** i
+        if i > 0:
+            w2 = f2.shape[2] // 2
+            f2 = f2[:, :, : w2 * 2].reshape(
+                f2.shape[0], f2.shape[1], w2, 2, f2.shape[-1]).mean(axis=3)
+        rep = jnp.repeat(f2, s, axis=2) if s > 1 else f2
+        w1 = fmap1.shape[2]
+        if rep.shape[2] < w1:  # truncated pooling → zero tail
+            rep = jnp.pad(rep, ((0, 0), (0, 0),
+                                (0, w1 - rep.shape[2]), (0, 0)))
+        else:
+            rep = rep[:, :, :w1]
+        cols = [
+            (fmap1 * _shift_w(rep, j * s)).sum(axis=-1,
+                                               dtype=jnp.float32) * scale
+            for j in range(lo, hi + 1)
+        ]
+        bands.append(jnp.stack(cols, axis=-1))
+    return tuple(bands)
+
+
+def corr_lookup_1d_banded(bands: Sequence[jax.Array], x: jax.Array,
+                          offs: Sequence[tuple[int, int]],
+                          radius: int = 4) -> jax.Array:
+    """Windowed lookup into `build_corr_band_pyramid` bands.
+
+    Identical output to `corr_lookup_1d` on the full pyramid for in-band
+    positions (see exactness domain above). ``offs`` must be the static
+    `band_offsets(...)` used at build time.
+
+    Args:
+      bands: tuple of ``[B, H, W1, N_i]``.
+      x: ``[B, H, W1]`` absolute positions at level-0 scale (x0 - disp).
+
+    Returns:
+      ``[B, H, W1, L*(2r+1)]`` (level-major, dx ascending).
+    """
+    dx = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    w1 = x.shape[-1]
+    out = []
+    for i, (band, (lo, _hi)) in enumerate(zip(bands, offs)):
+        s = 2 ** i
+        base = (jnp.arange(w1) // s).astype(x.dtype)  # floor(w/2^i)
+        pos = x[..., None] / s + dx - base[None, None, :, None] - lo
+        out.append(sample_1d(band, pos))
+    return jnp.concatenate(out, axis=-1)
+
+
 def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
                      radius: int = 4) -> jax.Array:
     """Windowed lookup into a multi-channel per-pixel volume pyramid.
@@ -170,6 +287,45 @@ def volume_lookup_1d(pyramid: Sequence[jax.Array], x: jax.Array,
         samples = sample_1d(v, pos[..., None, :])  # [B, H, W, C, K]
         out.append(samples.reshape(samples.shape[:-2] + (-1,)))
     return jnp.concatenate(out, axis=-1)
+
+
+def volume_lookup_1d_chunked(pyramid: Sequence[jax.Array], x: jax.Array,
+                             radius: int = 4,
+                             h_chunk: int = 16) -> jax.Array:
+    """H-chunked `volume_lookup_1d` — the `low_memory` role.
+
+    Identical output up to float reassociation (same hat-kernel
+    contraction per chunk), but
+    the ``[B, H, W, C, K, D]`` sampling intermediates exist only for
+    ``h_chunk`` rows at a time inside a `lax.map`, mirroring the
+    reference's chunked GEV lookup option
+    (models/FoundationStereo/foundation_stereo.py:229-233 `low_memory`)
+    and this repo's `corr_lookup_1d_alt`. Use for high-resolution
+    IGEV-family inference when the dense lookup's live set pushes past
+    HBM (parity: tests/test_ops_corr.py).
+    """
+    b, h = x.shape[0], x.shape[1]
+    hc = min(h_chunk, h)
+    pad = (-h) % hc
+    if pad:
+        def pad_h(a):
+            return jnp.pad(a, ((0, 0), (0, pad))
+                           + ((0, 0),) * (a.ndim - 2))
+        pyramid = [pad_h(v) for v in pyramid]
+        x = pad_h(x)
+    n = (h + pad) // hc
+
+    def split(a):
+        return jnp.moveaxis(
+            a.reshape(a.shape[0], n, hc, *a.shape[2:]), 1, 0)
+
+    def chunk(args):
+        xs, vols = args
+        return volume_lookup_1d(list(vols), xs, radius)
+
+    out = jax.lax.map(chunk, (split(x), tuple(split(v) for v in pyramid)))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, h + pad, *out.shape[3:])
+    return out[:, :h]
 
 
 def build_volume_pyramid(volume: jax.Array,

@@ -52,9 +52,10 @@ class TrainConfig:
     total_steps: int | None = None  # overrides epochs*len(loader) if set
     weight_decay: float = 1e-5
     clip_grad: float = 1.0
-    loss: str = "sequence"        # 'sequence' | 'multihead'
+    loss: str = "sequence"        # 'sequence' | 'multihead' | 'selfsup'
     loss_gamma: float = 0.9
     loss_weights: Sequence[float] = (0.5, 0.7, 1.0)
+    smooth_weight: float = 0.1    # selfsup: smoothness-term weight
     max_disp: int = 192
     seed: int = 0
     pct_start: float = 0.1        # OneCycle warmup fraction
@@ -120,8 +121,16 @@ def init_train_state(model, config: TrainConfig, sample_batch,
     )
 
 
-def compute_loss(outputs, gt, mask, config: TrainConfig):
-    """Dispatch on the model-output structure (trainer contract §0)."""
+def compute_loss(outputs, gt, mask, config: TrainConfig, batch=None):
+    """Dispatch on the loss mode and model-output structure (trainer
+    contract §0). ``loss='selfsup'`` trains without GT from the images
+    alone (round-3 verdict item 6; SURVEY §3.5)."""
+    if config.loss == "selfsup":
+        assert batch is not None, "selfsup loss needs the image batch"
+        return losses.selfsup_sequence_loss(
+            outputs, batch["left"], batch["right"],
+            smooth_weight=config.smooth_weight,
+            loss_gamma=config.loss_gamma)
     if isinstance(outputs, tuple) and len(outputs) == 2:
         init_disp, preds = outputs
         return losses.sequence_loss(preds, gt, mask, init_disp=init_disp,
@@ -139,7 +148,11 @@ def make_train_step(model, config: TrainConfig,
     the 'data' axis and XLA inserts the gradient all-reduce."""
 
     def step_fn(state: TrainState, batch):
-        gt = batch["gt_disp"]
+        if "gt_disp" in batch:
+            gt = batch["gt_disp"]
+        else:  # no-GT data (Holopix50k-style) — selfsup ignores gt anyway
+            gt = jnp.full(batch["left"].shape[:3], jnp.nan,
+                          batch["left"].dtype)
         mask = metrics.valid_mask(gt, config.max_disp)
 
         def loss_fn(params):
@@ -155,7 +168,7 @@ def make_train_step(model, config: TrainConfig,
                 outputs = model.apply(variables, batch["left"],
                                       batch["right"], train=True)
                 new_stats = state.batch_stats
-            loss = compute_loss(outputs, gt, mask, config)
+            loss = compute_loss(outputs, gt, mask, config, batch=batch)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(

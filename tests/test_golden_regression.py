@@ -21,7 +21,7 @@ GOLDEN = os.path.join(ROOT, "GOLDEN_METRICS.json")
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN),
                     reason="golden file not generated yet")
-def test_training_reproduces_golden_metrics():
+def test_training_reproduces_golden_metrics(tmp_path):
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from train_golden import run
 
@@ -29,8 +29,14 @@ def test_training_reproduces_golden_metrics():
         golden = json.load(f)
     assert "synthetic_sceneflow_protocol_120steps" in golden
 
+    # Run against a COPY so a missing key can never silently mutate the
+    # committed goldens mid-test (advisor r3); the key is asserted above.
+    import shutil
+    golden_copy = tmp_path / "GOLDEN_METRICS.json"
+    shutil.copy(GOLDEN, golden_copy)
+
     # _write_back raises AssertionError on drift > 1e-3 vs the stored values
-    metrics = run(steps=120, write_json=GOLDEN)
+    metrics = run(steps=120, write_json=str(golden_copy))
     # sanity on the artifact itself: training clearly beat the untrained
     # net (~10.5 px EPE on this synthetic distribution, tools/smoke_tpu.py)
     assert metrics[0] < 7.0

@@ -45,6 +45,7 @@ def test_raft_stereo_smoke():
     _run_eval(RAFTStereo(valid_iters=2), 32, 64)
 
 
+@pytest.mark.slow
 def test_igev_stereo_smoke():
     from stereo_toolbox_tpu.models import IGEVStereo
     left, right = _pair(64, 64)

@@ -99,3 +99,61 @@ def test_raft_alt_corr_impl_matches_reg():
         v, left, right, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_corr_matches_full_pyramid():
+    """Banded relative volumes + lookup == full all-pairs pyramid lookup
+    for in-band disparities (the exactness domain in ops/corr.py)."""
+    rng = np.random.RandomState(11)
+    b, h, w, c = 2, 3, 37, 16   # odd width exercises truncated pooling
+    d_max, radius, margin, levels = 12, 4, 4, 3
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+
+    # disparities spanning the whole exact domain incl. negatives
+    disp = jnp.asarray(
+        rng.uniform(-margin, d_max + margin, (b, h, w)).astype(np.float32))
+    x0 = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+    x = x0 - disp
+
+    for normalize in (True, False):
+        full = corr_ops.corr_lookup_1d(
+            corr_ops.build_corr_pyramid(
+                corr_ops.all_pairs_correlation(f1, f2, normalize=normalize),
+                levels),
+            x, radius)
+        offs = corr_ops.band_offsets(levels, d_max, radius, margin)
+        bands = corr_ops.build_corr_band_pyramid(
+            f1, f2, levels, d_max, radius, margin, normalize=normalize)
+        assert [bd.shape[-1] for bd in bands] == \
+            [hi - lo + 1 for lo, hi in offs]
+        got = corr_ops.corr_lookup_1d_banded(bands, x, offs, radius)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_banded_corr_out_of_band_is_zero():
+    """Out-of-domain disparities read zeros (documented clamp semantics)."""
+    b, h, w, c = 1, 2, 40, 8
+    f1 = jnp.ones((b, h, w, c), jnp.float32)
+    f2 = jnp.ones((b, h, w, c), jnp.float32)
+    offs = corr_ops.band_offsets(1, 8, 4, 0)
+    bands = corr_ops.build_corr_band_pyramid(f1, f2, 1, 8, 4, 0,
+                                             normalize=False)
+    # disp far beyond d_max → window entirely below the band → zeros
+    x = jnp.full((b, h, w), -30.0) + jnp.arange(w, dtype=jnp.float32)
+    out = np.asarray(corr_ops.corr_lookup_1d_banded(bands, x, offs, 4))
+    assert np.all(out[:, :, 32:] == 0.0)
+
+
+def test_volume_lookup_chunked_matches_dense():
+    """low_memory role (FoundationStereo foundation_stereo.py:229-233):
+    H-chunked GEV lookup equals the dense path (to reassociation)."""
+    rng = np.random.RandomState(5)
+    vol = jnp.asarray(rng.randn(2, 11, 6, 16, 3).astype(np.float32))
+    pyr = corr_ops.build_volume_pyramid(vol, 2)
+    x = jnp.asarray(rng.uniform(-1, 17, (2, 11, 6)).astype(np.float32))
+    dense = corr_ops.volume_lookup_1d(pyr, x, radius=3)
+    chunked = corr_ops.volume_lookup_1d_chunked(pyr, x, radius=3, h_chunk=4)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               rtol=1e-5, atol=1e-6)

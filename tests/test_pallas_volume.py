@@ -36,3 +36,14 @@ def test_concat_pallas_matches_xla():
     got = np.asarray(build_concat_volume_pallas(left, right, 5, block_h=2,
                                                 interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_gwc_pallas_w_tiled():
+    """W ≥ 2 tiles: exercises the prev-tile shifted window and the w<d
+    zero masking at tile 0 (the 1088×1920 configuration, round-4)."""
+    left, right = _feats(b=1, h=2, w=256, c=8, seed=3)
+    want = np.asarray(ops.build_gwc_volume(left, right, 48, 4))
+    got = np.asarray(build_gwc_volume_pallas(left, right, 48, 4,
+                                             interpret=True))
+    assert got.shape == (1, 48, 2, 256, 4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

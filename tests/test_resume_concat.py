@@ -15,6 +15,7 @@ from stereo_toolbox_tpu.datasets.base import SyntheticStereoDataset
 from stereo_toolbox_tpu.trainer import (TrainConfig, Trainer,
                                         init_train_state)
 from stereo_toolbox_tpu.models import PSMNet
+import pytest
 
 
 def _loader(b=2, n=4):
@@ -24,6 +25,7 @@ def _loader(b=2, n=4):
     return DataLoader(ds, batch_size=b, num_workers=0)
 
 
+@pytest.mark.slow
 def test_kill_and_resume_continues_at_next_epoch(tmp_path):
     config = TrainConfig(lr=1e-4, max_disp=16, loss="multihead",
                          ckpt_dir=str(tmp_path), save_every=1, epochs=2,

@@ -114,3 +114,49 @@ def test_find_unused_parameters():
         lambda p: m.apply({"params": p}, jnp.ones((1, 3))), v["params"])
     assert any("dead" in u for u in unused)
     assert not any("used/" in u and "kernel" in u for u in unused)
+
+
+def test_selfsup_no_gt_training_improves_photometric():
+    """round-3 verdict item 6: a no-GT batch trains end-to-end with
+    loss='selfsup' — finite loss, and the photometric reconstruction
+    error of the prediction decreases over the run."""
+    from stereo_toolbox_tpu import losses
+
+    # structured stereo pair with a constant 4-px shift and NO gt_disp key
+    rng = np.random.RandomState(7)
+    base = rng.rand(1, 48, 80, 3).astype(np.float32)
+    for ax, k in ((1, 9), (2, 9)):  # smooth it so photometric loss is sane
+        kernel = np.ones(k) / k
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), ax, base)
+    d = 4
+    left = base[:, :, d:64 + d]
+    right = base[:, :, :64]
+    mean = np.array(losses.IMAGENET_MEAN, np.float32)
+    std = np.array(losses.IMAGENET_STD, np.float32)
+    batch = {"left": jnp.asarray((left - mean) / std),
+             "right": jnp.asarray((right - mean) / std)}
+
+    config = TrainConfig(lr=1e-3, max_disp=16, loss="selfsup",
+                         smooth_weight=0.05, clip_grad=1.0)
+    model = PSMNet(max_disp=16)
+    state = init_train_state(
+        model, config, {"left": batch["left"], "right": batch["right"]},
+        total_steps=40)
+    step = make_train_step(model, config)
+
+    def photo_err(params, stats):
+        pred = model.apply({"params": params, "batch_stats": stats},
+                           batch["left"], batch["right"], train=False)
+        lo = jnp.asarray(left)
+        ro = jnp.asarray(right)
+        return float(losses.photometric_loss(lo, ro, pred).mean())
+
+    err0 = photo_err(state.params, state.batch_stats)
+    seen = []
+    for _ in range(15):
+        state, loss = step(state, batch)
+        seen.append(float(loss))
+    assert np.isfinite(seen).all(), seen
+    err1 = photo_err(state.params, state.batch_stats)
+    assert err1 < err0, (err0, err1)
