@@ -48,16 +48,33 @@ def _danv2_size(h4: int, w4: int, max_size: int = 2688):
     return ih, iw
 
 
+def _maybe_blend(skip_unemitted, emit, disp, mask, factor):
+    """Convex upsample, skipped on un-emitted eval iterations (the
+    reference upsamples only the final one, defom_stereo.py:168)."""
+    def blend(d, m):
+        return ops.convex_upsample(d.astype(jnp.float32),
+                                   m.astype(jnp.float32), factor)
+
+    if not skip_unemitted:
+        return blend(disp, mask)
+    b, h, w = disp.shape
+    return jax.lax.cond(
+        emit, blend,
+        lambda d, m: jnp.zeros((b, h * factor, w * factor), jnp.float32),
+        disp, mask)
+
+
 class _DEFOMScaleStep(nn.Module):
     hidden_dims: Sequence[int]
     n_gru_layers: int
     scale_list: Sequence[float]
     scale_corr_radius: int
     factor: int
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, pyramid, contexts, x0):
+    def __call__(self, carry, emit, pyramid, contexts, x0):
         nets, disp = carry
         disp = jax.lax.stop_gradient(disp)
         looks = [corr_lookup_1d(pyramid[:1], x0 - s * disp,
@@ -71,8 +88,8 @@ class _DEFOMScaleStep(nn.Module):
                 nets, contexts, corr, flow)
         scale = jnp.clip(jnp.exp(0.25 * x_disp[..., 0]), 0.0, 6.0)
         disp = scale * disp
-        disp_up = ops.convex_upsample(disp.astype(jnp.float32),
-                                      mask.astype(jnp.float32), self.factor)
+        disp_up = _maybe_blend(self.skip_unemitted, emit, disp, mask,
+                               self.factor)
         return (nets, disp), disp_up
 
 
@@ -82,10 +99,11 @@ class _DEFOMStep(nn.Module):
     corr_radius: int
     corr_levels: int
     factor: int
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, pyramid, contexts, x0):
+    def __call__(self, carry, emit, pyramid, contexts, x0):
         nets, disp = carry
         disp = jax.lax.stop_gradient(disp)
         corr = corr_lookup_1d(pyramid, x0 - disp, self.corr_radius)
@@ -95,8 +113,8 @@ class _DEFOMStep(nn.Module):
                 nets, contexts, corr, disp[..., None])
         lim = 2.0 ** (self.corr_levels - 1) * self.corr_radius
         disp = disp + jnp.clip(delta[..., 0], -lim, lim)
-        disp_up = ops.convex_upsample(disp.astype(jnp.float32),
-                                      mask.astype(jnp.float32), self.factor)
+        disp_up = _maybe_blend(self.skip_unemitted, emit, disp, mask,
+                               self.factor)
         return (nets, disp), disp_up
 
 
@@ -188,22 +206,32 @@ class DEFOMStereo(nn.Module):
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
         disp = disp.astype(jnp.float32)
 
+        n2 = iters - scale_iters
+        if train:
+            emit1 = jnp.ones((scale_iters,), bool)
+            emit2 = jnp.ones((n2,), bool)
+        else:  # eval reads ups2[-1], or ups1[-1] when the refine is empty
+            emit1 = (jnp.arange(scale_iters) == scale_iters - 1) if n2 == 0 \
+                else jnp.zeros((scale_iters,), bool)
+            emit2 = jnp.arange(n2) == n2 - 1
         scale_step = nn.scan(
             _DEFOMScaleStep, variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False}, in_axes=(nn.broadcast,) * 3,
+            split_rngs={"params": False}, in_axes=(0,) + (nn.broadcast,) * 3,
             out_axes=0, length=scale_iters,
         )(self.hidden_dims, self.n_gru_layers, self.scale_list,
-          self.scale_corr_radius, factor, dtype=self.dtype,
-          name="scale_phase")
-        (nets, disp), ups1 = scale_step((nets, disp), pyramid, contexts, x0)
+          self.scale_corr_radius, factor, skip_unemitted=not train,
+          dtype=self.dtype, name="scale_phase")
+        (nets, disp), ups1 = scale_step((nets, disp), emit1, pyramid,
+                                        contexts, x0)
 
         step = nn.scan(
             _DEFOMStep, variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False}, in_axes=(nn.broadcast,) * 3,
-            out_axes=0, length=iters - scale_iters,
+            split_rngs={"params": False}, in_axes=(0,) + (nn.broadcast,) * 3,
+            out_axes=0, length=n2,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius,
-          self.corr_levels, factor, dtype=self.dtype, name="refine_phase")
-        (nets, disp), ups2 = step((nets, disp), pyramid, contexts, x0)
+          self.corr_levels, factor, skip_unemitted=not train,
+          dtype=self.dtype, name="refine_phase")
+        (nets, disp), ups2 = step((nets, disp), emit2, pyramid, contexts, x0)
 
         if train:
             return ([ups1[i] for i in range(ups1.shape[0])]

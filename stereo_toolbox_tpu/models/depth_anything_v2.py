@@ -62,6 +62,34 @@ class ViTBlock(nn.Module):
         return x + h * ls2
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int, scale: float):
+    """[n_out, n_in] row-stochastic matrix replicating torch
+    ``F.interpolate(mode='bicubic', align_corners=False,
+    scale_factor=scale)``: src = (i+0.5)/scale − 0.5, cubic convolution
+    kernel with A = −0.75, edge-clamped taps. Computed with numpy at trace
+    time (sizes are static), so the pos-embed resize is bit-faithful to
+    DINOv2's interpolate_pos_encoding (dinov2.py:179-210) including its
+    +0.1 interpolate_offset."""
+    import numpy as _np
+    a = -0.75
+
+    def k(t):
+        t = _np.abs(t)
+        return _np.where(
+            t <= 1, (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1,
+            _np.where(t < 2, a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a,
+                      0.0))
+
+    m = _np.zeros((n_out, n_in), _np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) / scale - 0.5
+        x0 = _np.floor(src)
+        for j in range(-1, 3):
+            idx = int(_np.clip(x0 + j, 0, n_in - 1))
+            m[i, idx] += k(src - (x0 + j))
+    return m.astype(_np.float32)
+
+
 class DINOv2(nn.Module):
     """Patch-14 ViT returning intermediate (patch_tokens, cls) pairs."""
     encoder: str = "vitl"
@@ -85,9 +113,14 @@ class DINOv2(nn.Module):
                          nn.initializers.normal(0.02), (1, 37 * 37 + 1, dim))
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (ph, pw) != (37, 37):
-            grid = pos_patch.reshape(1, 37, 37, dim)
-            grid = jax.image.resize(grid, (1, ph, pw, dim), "bicubic")
-            pos_patch = grid.reshape(1, ph * pw, dim)
+            # DINOv2 resizes with torch bicubic at scale (g+0.1)/37
+            # (dinov2.py:189-205); replicate its exact kernel/coords
+            grid = pos_patch.reshape(1, 37, 37, dim).astype(jnp.float32)
+            mh = jnp.asarray(_torch_bicubic_matrix(37, ph, (ph + 0.1) / 37))
+            mw = jnp.asarray(_torch_bicubic_matrix(37, pw, (pw + 0.1) / 37))
+            grid = jnp.einsum("oh,bhwc->bowc", mh, grid)
+            grid = jnp.einsum("ow,bhwc->bhoc", mw, grid)
+            pos_patch = grid.reshape(1, ph * pw, dim).astype(pos.dtype)
         x = x + pos_patch
         cls_tok = jnp.broadcast_to(cls + pos_cls, (b, 1, dim))
         x = jnp.concatenate([cls_tok, x], axis=1)
@@ -176,17 +209,30 @@ class DPTHead(nn.Module):
                       dtype=dt, name=f"layer{i + 1}_rn")(o)
               for i, o in enumerate(outs)]
         l1, l2, l3, l4 = rn
+        # Decoder-style fusion chain (dpt.py:279-287 DPTHead_decoder): each
+        # path stays at its OWN scale (identity resize inside the block) and
+        # the upsample to the next level is external with align_corners=True.
+        # Because the block's 1×1 out-conv commutes with bilinear resize,
+        # the standard head's path_k (dpt.py:145-148) equals
+        # resize(decoder path_k) — so one chain yields both the MonSter-style
+        # decoder features and the depth output, bitwise.
         p4 = FeatureFusionBlock(self.features, dtype=dt, name="refine4")(
-            l4, size=l3.shape[1:3])
+            l4, size=l4.shape[1:3])
+        up4 = interpolate(p4, l3.shape[1:3], (1, 2), align_corners=True)
         p3 = FeatureFusionBlock(self.features, dtype=dt, name="refine3")(
-            p4, l3, size=l2.shape[1:3])
+            up4, l3, size=l3.shape[1:3])
+        up3 = interpolate(p3, l2.shape[1:3], (1, 2), align_corners=True)
         p2 = FeatureFusionBlock(self.features, dtype=dt, name="refine2")(
-            p3, l2, size=l1.shape[1:3])
+            up3, l2, size=l2.shape[1:3])
+        up2 = interpolate(p2, l1.shape[1:3], (1, 2), align_corners=True)
         p1 = FeatureFusionBlock(self.features, dtype=dt, name="refine1")(
-            p2, l1)
+            up2, l1, size=l1.shape[1:3])
+        # standard head's path_1 (2× layer_1 scale, dpt.py:148)
+        p1_std = interpolate(p1, (l1.shape[1] * 2, l1.shape[2] * 2), (1, 2),
+                             align_corners=True)
 
         out = nn.Conv(self.features // 2, (3, 3), padding="SAME", dtype=dt,
-                      name="output_conv1")(p1)
+                      name="output_conv1")(p1_std)
         out = interpolate(out, (ph * PATCH, pw * PATCH), (1, 2),
                           align_corners=True)
         h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
@@ -194,7 +240,8 @@ class DPTHead(nn.Module):
         depth = nn.relu(nn.Conv(1, (1, 1), dtype=dt,
                                 name="output_conv2b")(h))
         if return_path1:
-            return depth[..., 0], {"path_1": p1, "paths": [p4, p3, p2, p1]}
+            return depth[..., 0], {"path_1": p1_std,
+                                   "paths": [p4, p3, p2, p1]}
         return depth[..., 0]
 
 

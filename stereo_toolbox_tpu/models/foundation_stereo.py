@@ -42,6 +42,8 @@ from stereo_toolbox_tpu.nn.igev_blocks import (BasicConvBN, BasicConvIN,
                                                Conv2x)
 from stereo_toolbox_tpu.nn.layers import FeatureAtt
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
+                                         band_offsets,
+                                         build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid)
 
@@ -178,25 +180,45 @@ class _FSStep(nn.Module):
     hidden_dims: Sequence[int]
     n_gru_layers: int
     corr_radius: int
+    band_offs: tuple = ()  # static — () selects the full-pyramid lookup
+    # eval: upsample only the emitted (last) iteration
+    # (foundation_stereo.py:279-280)
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, geo_pyr, corr_pyr, inps, atts, x0, stem_2x):
+    def __call__(self, carry, emit, geo_pyr, corr_pyr, inps, atts, x0,
+                 stem_2x):
         nets, disp = carry
         disp = jax.lax.stop_gradient(disp)
         geo_feat = combined_geo_lookup(geo_pyr, corr_pyr, disp, x0,
-                                       self.corr_radius)
+                                       self.corr_radius, self.band_offs)
         nets, mask_feat, delta = SelectiveUpdateBlock(
             self.hidden_dims, self.n_gru_layers, "superpixel",
             dtype=self.dtype, name="update_block")(
                 nets, inps, atts, geo_feat, disp[..., None])
         disp = disp + delta[..., 0].astype(disp.dtype)
-        xspx = Conv2x(32, deconv=True, dtype=self.dtype,
-                      name="spx_2_gru")(mask_feat, stem_2x)
-        spx = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=self.dtype, name="spx_gru")(xspx)
-        spx = jax.nn.softmax(spx.astype(jnp.float32), axis=-1)
-        disp_up = ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+        spx2 = Conv2x(32, deconv=True, dtype=self.dtype, name="spx_2_gru")
+        spxc = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
+                                dtype=self.dtype, name="spx_gru")
+
+        def upsample(mask_feat, stem_2x, disp):
+            spx = jax.nn.softmax(
+                spxc(spx2(mask_feat, stem_2x)).astype(jnp.float32), axis=-1)
+            return ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
+
+        if not self.skip_unemitted:
+            disp_up = upsample(mask_feat, stem_2x, disp)
+        else:
+            # params pinned by an unconditional tiny call (see igev_stereo)
+            tiny = upsample(mask_feat[:, :2, :2], stem_2x[:, :4, :4],
+                            disp[:, :2, :2])
+            zero_full = jnp.zeros(
+                disp.shape[:1] + (disp.shape[1] * 4, disp.shape[2] * 4),
+                tiny.dtype) + 0.0 * tiny.mean()
+            disp_up = jax.lax.cond(
+                emit, lambda m, s, d: upsample(m, s, d),
+                lambda m, s, d: zero_full, mask_feat, stem_2x, disp)
         return (nets, disp), disp_up
 
 
@@ -212,6 +234,9 @@ class FoundationStereo(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True
+    # disparity-banded relative corr volumes by default (ops/corr.py)
+    corr_impl: str = "banded"
+    band_margin: int = 32
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -296,21 +321,35 @@ class FoundationStereo(nn.Module):
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
         # IGEV-style corr is unnormalized (FoundationStereo/geometry.py:62-72)
-        corr = all_pairs_correlation(fl[0].astype(jnp.float32),
-                                     fr0.astype(jnp.float32),
-                                     normalize=False)
-        corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
+        band_offs = ()
+        if self.corr_impl == "banded":
+            m4 = max(self.band_margin // 4, 1)
+            band_offs = band_offsets(self.corr_levels, d4,
+                                     self.corr_radius, m4)
+            corr_pyr = build_corr_band_pyramid(
+                fl[0].astype(jnp.float32), fr0.astype(jnp.float32),
+                self.corr_levels, d4, self.corr_radius, m4,
+                normalize=False)
+        else:
+            corr = all_pairs_correlation(fl[0].astype(jnp.float32),
+                                         fr0.astype(jnp.float32),
+                                         normalize=False)
+            corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _FSStep, variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False}, in_axes=(nn.broadcast,) * 6,
+            split_rngs={"params": False}, in_axes=(0,) + (nn.broadcast,) * 6,
             out_axes=0, length=iters,
-        )(self.hidden_dims, self.n_gru_layers, self.corr_radius, dtype=dt,
+        )(self.hidden_dims, self.n_gru_layers, self.corr_radius,
+          band_offs=band_offs, skip_unemitted=not train, dtype=dt,
           name="step")
         (nets, disp), ups = step((nets, init_disp.astype(jnp.float32)),
-                                 geo_pyr, corr_pyr, inps, atts, x0, stem_2x)
+                                 emit, geo_pyr, corr_pyr, inps, atts, x0,
+                                 stem_2x)
 
         if not train:
             return ups[-1]

@@ -186,10 +186,13 @@ class _SAStep(nn.Module):
     n_gru_layers: int
     corr_radius: int
     factor: int
+    # eval: upsample only the emitted (last) iteration
+    # (stereoanywhere.py:318-319)
+    skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, carry, pyr_s, pyr_m, contexts, x0):
+    def __call__(self, carry, emit, pyr_s, pyr_m, contexts, x0):
         nets, flow_x = carry
         flow_x = jax.lax.stop_gradient(flow_x)
         corr_s = corr_lookup_1d(pyr_s, x0 + flow_x, self.corr_radius)
@@ -227,8 +230,20 @@ class _SAStep(nn.Module):
         mask = 0.25 * nn.Conv(self.factor ** 2 * 9, (1, 1),
                               dtype=self.dtype, name="mask_2")(m)
         flow_x = flow_x + delta[..., 0]
-        disp_up = ops.convex_upsample(-flow_x.astype(jnp.float32),
-                                      mask.astype(jnp.float32), self.factor)
+
+        def blend(fx, mk):
+            return ops.convex_upsample(-fx.astype(jnp.float32),
+                                       mk.astype(jnp.float32), self.factor)
+
+        if not self.skip_unemitted:
+            disp_up = blend(flow_x, mask)
+        else:
+            b, hh, ww = flow_x.shape
+            disp_up = jax.lax.cond(
+                emit, blend,
+                lambda fx, mk: jnp.zeros(
+                    (b, hh * self.factor, ww * self.factor), jnp.float32),
+                flow_x, mask)
         return ((net08, net16, net32), flow_x), disp_up
 
 
@@ -340,14 +355,16 @@ class StereoAnywhere(nn.Module):
                   if self.init_disparity_zero
                   else -jnp.maximum(scaled_mde2_low.astype(jnp.float32), 0))
 
+        emit = jnp.ones((iters,), bool) if train else \
+            jnp.arange(iters) == iters - 1
         step = nn.scan(
             _SAStep, variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False}, in_axes=(nn.broadcast,) * 4,
+            split_rngs={"params": False}, in_axes=(0,) + (nn.broadcast,) * 4,
             out_axes=0, length=iters,
         )(self.hidden_dims, self.n_gru_layers, self.corr_radius, factor,
-          dtype=dt, name="step")
-        (nets, flow_x), ups = step((nets, flow_x), pyr_s, pyr_m, contexts,
-                                   x0)
+          skip_unemitted=not train, dtype=dt, name="step")
+        (nets, flow_x), ups = step((nets, flow_x), emit, pyr_s, pyr_m,
+                                   contexts, x0)
 
         if train:
             return [ups[i] for i in range(iters)]

@@ -179,8 +179,16 @@ def sine_pos_encoding_1d(width: int, channels: int, scale: float,
 
 class RelativeMHA(nn.Module):
     """Multi-head attention with relative-position q/k terms
-    (attention.py:30-139). Inputs are ``[B', W, C]`` (B' = N*H)."""
+    (attention.py:30-139). Inputs are ``[B', W, C]`` (B' = N*H).
+
+    Epipolar rows attend independently, so the param-free core (the
+    ``[B', E, W, W]`` logits + softmax + value blend) is chunked over B'
+    with `lax.map` whenever the logits would exceed ``attn_budget`` bytes
+    — numerically identical, but peak memory stays bounded. This is how
+    the TPU build clears the resolutions where the reference's STTR OOMs
+    on a 24 GB RTX 4090 (reference README.md:161,190)."""
     num_heads: int = 8
+    attn_budget: int = 1 << 30  # max bytes for one chunk's f32 logits
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -203,9 +211,8 @@ class RelativeMHA(nn.Module):
         qh = q.reshape(-1, wq, e, hd)
         kh = k.reshape(-1, wk, e, hd)
         vh = v.reshape(-1, wk, e, hd)
-        attn = jnp.einsum("bwec,bvec->bewv", qh, kh,
-                          preferred_element_type=jnp.float32)
 
+        q_r = k_r = None
         if pos_rel is not None:
             # pos_rel: [W, W', C] relative encodings; q_r/k_r reuse the q/k
             # projections (attention.py:66-77)
@@ -213,15 +220,38 @@ class RelativeMHA(nn.Module):
             k_r = pos_rel @ in_w[:, c:2 * c] + in_b[c:2 * c]
             q_r = q_r.reshape(wq, wk, e, hd)
             k_r = k_r.reshape(wq, wk, e, hd)
-            attn = attn + jnp.einsum("bwec,wvec->bewv", qh, k_r)
-            attn = attn + jnp.einsum("bvec,wvec->bewv", kh, q_r)
 
-        if attn_mask is not None:
-            attn = attn + attn_mask[None, None]
+        def attend(args):
+            qc, kc, vc = args
+            attn = jnp.einsum("bwec,bvec->bewv", qc, kc,
+                              preferred_element_type=jnp.float32)
+            if pos_rel is not None:
+                attn = attn + jnp.einsum("bwec,wvec->bewv", qc, k_r)
+                attn = attn + jnp.einsum("bvec,wvec->bewv", kc, q_r)
+            if attn_mask is not None:
+                attn = attn + attn_mask[None, None]
+            raw = attn.sum(axis=1)
+            p = jax.nn.softmax(attn, axis=-1).astype(vc.dtype)
+            return jnp.einsum("bewv,bvec->bwec", p, vc), raw
 
-        raw = attn.sum(axis=1)
-        p = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bewv,bvec->bwec", p, vh).reshape(-1, wq, c)
+        b = qh.shape[0]
+        rows = max(1, self.attn_budget // (e * wq * wk * 4))
+        if rows >= b:
+            out, raw = attend((qh, kh, vh))
+        else:
+            pad = (-b) % rows
+            n = (b + pad) // rows
+
+            def split(a):
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                return a.reshape(n, rows, *a.shape[1:])
+
+            out, raw = jax.lax.map(attend, (split(qh), split(kh),
+                                            split(vh)))
+            out = out.reshape(n * rows, wq, e, hd)[:b]
+            raw = raw.reshape(n * rows, wq, wk)[:b]
+
+        out = out.reshape(-1, wq, c)
         out_proj = nn.Dense(c, dtype=self.dtype, name="out_proj")
         out = out_proj(out)
         if return_raw:

@@ -997,6 +997,171 @@ def convert_depth_anything_v2(sd: dict, encoder: str = None) -> tuple:
                                    "pretrained.mask_token"))
 
 
+def _gev_hourglass(b: _Builder, hg: str = "cost_agg") -> None:
+    """IGEV-style 3-scale GEV hourglass with per-scale FeatureAtt
+    (IGEVStereo/igev_stereo.py:23-90 ≡ MonSter/monster.py:69-131)."""
+    seq = [("conv1.0", 0), ("conv1.1", 1), ("conv2.0", 2), ("conv2.1", 3),
+           ("conv3.0", 4), ("conv3.1", 5), ("agg_0.0", 7), ("agg_0.1", 8),
+           ("agg_0.2", 9), ("agg_1.0", 11), ("agg_1.1", 12), ("agg_1.2", 13)]
+    for tname, i in seq:
+        b.conv(f"{hg}/BasicConvBN_{i}/Conv_0", f"{hg}.{tname}.conv")
+        b.bn(f"{hg}/BasicConvBN_{i}/BatchNorm_0", f"{hg}.{tname}.bn")
+    for tname, i in (("conv3_up", 6), ("conv2_up", 10)):
+        b.conv_transpose(f"{hg}/BasicConvBN_{i}/ConvTranspose_0",
+                         f"{hg}.{tname}.conv")
+        b.bn(f"{hg}/BasicConvBN_{i}/BatchNorm_0", f"{hg}.{tname}.bn")
+    b.conv_transpose(f"{hg}/BasicConvBN_14/ConvTranspose_0",
+                     f"{hg}.conv1_up.conv")
+    for i, att in enumerate(("feature_att_8", "feature_att_16",
+                             "feature_att_32", "feature_att_up_16",
+                             "feature_att_up_8")):
+        b.convbn(f"{hg}/FeatureAtt_{i}/ConvBNAct_0",
+                 f"{hg}.{att}.feat_att.0.conv", f"{hg}.{att}.feat_att.0.bn")
+        b.conv(f"{hg}/FeatureAtt_{i}/Conv_0", f"{hg}.{att}.feat_att.1",
+               bias=True)
+
+
+def _remp(b: _Builder, f: str = "remp", t: str = "REMP") -> None:
+    """MonSter REMP refinement (refinement.py:363-433)."""
+    for name in ("conv1_mono", "conv1_stereo", "conv2_mono", "conv2_stereo"):
+        b.conv(f"{f}/{name}/conv", f"{t}.{name}.0")
+        b.bn(f"{f}/{name}/bn", f"{t}.{name}.1")
+    b.conv(f"{f}/conv_start/conv", f"{t}.conv_start.conv")
+    b.bn(f"{f}/conv_start/bn", f"{t}.conv_start.bn")
+    u = f"{t}.RefinementBlock"
+    for name in ("conv1a", "conv2a", "conv3a", "conv4a"):
+        b.conv(f"{f}/unet/{name}/conv", f"{u}.{name}.conv")
+        b.bn(f"{f}/unet/{name}/bn", f"{u}.{name}.bn")
+    for name in ("deconv4a", "deconv3a", "deconv2a", "deconv1a",
+                 "deconv4b", "deconv3b", "deconv2b", "deconv1b"):
+        b.conv_transpose(f"{f}/unet/{name}/conv1/conv", f"{u}.{name}.conv1.conv")
+        b.bn(f"{f}/unet/{name}/conv1/bn", f"{u}.{name}.conv1.bn")
+        b.conv(f"{f}/unet/{name}/conv2/conv", f"{u}.{name}.conv2.conv")
+        b.bn(f"{f}/unet/{name}/conv2/bn", f"{u}.{name}.conv2.bn")
+    for name in ("conv1b", "conv2b", "conv3b", "conv4b"):
+        b.conv(f"{f}/unet/{name}/conv1/conv", f"{u}.{name}.conv1.conv")
+        b.bn(f"{f}/unet/{name}/conv1/bn", f"{u}.{name}.conv1.bn")
+        b.conv(f"{f}/unet/{name}/conv2/conv", f"{u}.{name}.conv2.conv")
+        b.bn(f"{f}/unet/{name}/conv2/bn", f"{u}.{name}.conv2.bn")
+    b.conv(f"{f}/lfe_1", f"{t}.LFE.0", bias=True)
+    b.conv(f"{f}/lfe_2", f"{t}.LFE.2", bias=True)
+    b.conv(f"{f}/lmc_1", f"{t}.LMC.0", bias=True)
+    b.conv(f"{f}/lmc_2", f"{t}.LMC.1", bias=True)
+    b.conv(f"{f}/lmc_3", f"{t}.LMC.3", bias=True)
+    b.conv(f"{f}/final_conv", f"{t}.final_conv", bias=True)
+
+
+def convert_monster(sd: dict, encoder: str = None) -> tuple[dict, list]:
+    """Reference MonSter (models/MonSter/monster.py:225-520) → our Monster
+    variables: frozen DAv2 mono branch (encoder+decoder re-used for both the
+    depth and feature heads — the reference loads `mono_decoder` and
+    `feat_decoder` from the same checkpoint), Feat_transfer pyramid, IGEV
+    stereo branch, two coupled mix update blocks, and REMP."""
+    b = _Builder(sd)
+
+    # --- frozen DAv2 mono branch ------------------------------------------
+    # Reference scopes: mono_encoder (= DAv2.pretrained), mono_decoder
+    # (= DAv2.depth_head), feat_decoder (same weights, loaded strict=False
+    # from the same file, monster.py:317-327). Our single `mono` DAv2
+    # computes both depth and paths, so feat_decoder keys are redundant.
+    sub = {}
+    for k, v in b.sd.items():
+        if k.startswith("mono_encoder."):
+            sub["pretrained." + k[len("mono_encoder."):]] = v
+            b.used.add(k)
+        elif k.startswith("mono_decoder."):
+            sub["depth_head." + k[len("mono_decoder."):]] = v
+            b.used.add(k)
+    dav2, _ = convert_depth_anything_v2(sub, encoder)
+    b.params["mono"] = dav2["params"]
+    if dav2.get("batch_stats"):
+        b.stats["mono"] = dav2["batch_stats"]
+
+    # --- Feat_transfer (monster.py:160-219) -------------------------------
+    ft, t = "feat_transfer", "feat_transfer"
+    for name in ("conv4x", "conv8x", "conv16x", "conv32x"):
+        b.conv(f"{ft}/{name}", f"{t}.{name}.0", bias=True)
+    for fname, tname in (("up32", "conv_up_32x"), ("up16", "conv_up_16x"),
+                         ("up8", "conv_up_8x")):
+        b.conv_transpose(f"{ft}/{fname}", f"{t}.{tname}")
+    for s in ("16", "8", "4"):
+        b.conv(f"{ft}/res{s}", f"{t}.res_{s}x", bias=True)
+
+    # --- stems (monster.py:275-295) ---------------------------------------
+    for s in ("2", "4", "8", "16"):
+        b.conv(f"stem_{s}a/Conv_0", f"stem_{s}.0.conv")
+        b.conv(f"stem_{s}b", f"stem_{s}.1")
+
+    # --- matching + volume + GEV ------------------------------------------
+    b.conv("conv/Conv_0", "conv.conv")
+    b.conv("desc", "desc", bias=True)
+    b.conv("corr_stem/Conv_0", "corr_stem.conv")
+    b.bn("corr_stem/BatchNorm_0", "corr_stem.bn")
+    b.convbn("corr_feature_att/ConvBNAct_0",
+             "corr_feature_att.feat_att.0.conv",
+             "corr_feature_att.feat_att.0.bn")
+    b.conv("corr_feature_att/Conv_0", "corr_feature_att.feat_att.1",
+           bias=True)
+    _gev_hourglass(b)
+    b.conv("classifier", "classifier")
+
+    # --- context from mono features (Feat_transfer_cnet) ------------------
+    for s in ("4", "8", "16"):
+        b.conv(f"cnet_{s}", f"feat_transfer_cnet.res_{s}x", bias=True)
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+
+    # --- train-path superpixel upsampler ----------------------------------
+    b.conv("spx_4/Conv_0", "spx_4.0.conv")
+    b.conv("spx_4b", "spx_4.1")
+    _conv2x(b, "spx_2", "spx_2", instance_norm=True)
+    b.conv_transpose("spx", "spx.0", bias=True)
+
+    # --- shared in-loop upsampler → both phase scopes ---------------------
+    for phase in ("phase1", "phase2"):
+        _conv2x(b, f"{phase}/spx_2_gru", "spx_2_gru", instance_norm=False)
+        b.conv_transpose(f"{phase}/spx_gru", "spx_gru.0", bias=True)
+
+    # --- phase-1 plain update block (MonSter/update.py BasicMultiUpdate) --
+    ub = "phase1/update_block"
+    for g in ("gru04", "gru08", "gru16"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
+    for i, t2 in enumerate(("convc1", "convc2", "convd1", "convd2", "conv")):
+        b.conv(f"{ub}/encoder/Conv_{i}", f"update_block.encoder.{t2}",
+               bias=True)
+    b.conv(f"{ub}/disp_head_1", "update_block.disp_head.conv1", bias=True)
+    b.conv(f"{ub}/disp_head_2", "update_block.disp_head.conv2", bias=True)
+    b.conv(f"{ub}/mask_feat_4", "update_block.mask_feat_4.0", bias=True)
+
+    # --- phase-2 coupled mix blocks (update.py:485-563) -------------------
+    enc_map = (("c1", "convc1"), ("c2", "convc2"),
+               ("c1_mono", "convc1_mono"), ("c2_mono", "convc2_mono"),
+               ("d1", "convd1"), ("d2", "convd2"),
+               ("d1_mono", "convd1_mono"), ("d2_mono", "convd2_mono"),
+               ("o", "conv"), ("o_mono", "conv_mono"))
+    for blk in ("update_block_mix_stereo", "update_block_mix_mono"):
+        ub = f"phase2/{blk}"
+        for g in ("gru04", "gru08", "gru16"):
+            for c in ("convz", "convr", "convq"):
+                b.conv(f"{ub}/{g}/{c}", f"{blk}.{g}.{c}", bias=True)
+        for fname, tname in enc_map:
+            b.conv(f"{ub}/encoder/{fname}", f"{blk}.encoder.{tname}",
+                   bias=True)
+        b.conv(f"{ub}/disp_head_1", f"{blk}.disp_head.conv1", bias=True)
+        b.conv(f"{ub}/disp_head_2", f"{blk}.disp_head.conv2", bias=True)
+        b.conv(f"{ub}/mask_feat_4", f"{blk}.mask_feat_4.0", bias=True)
+
+    _remp(b)
+
+    # feat_decoder duplicates mono_decoder; mask_token/norm artifacts as in
+    # convert_depth_anything_v2; MonSter's BasicConv registers a dead BN on
+    # the bn=False conv1_up (submodule.py:13-19, like SelectiveIGEV)
+    return b.finish(expect_unused=("num_batches_tracked", "feat_decoder.",
+                                   "refinenet4.resConfUnit1", "mask_token",
+                                   "cost_agg.conv1_up.bn"))
+
+
 # Scope under which each foundation-tier model embeds its DAv2 trunk
 DAV2_SCOPES = {
     "MonSter": "mono",
@@ -1073,6 +1238,7 @@ CONVERTERS = {
     "SelectiveRAFT": convert_selective_raft,
     "SelectiveIGEV": convert_selective_igev,
     "DepthAnythingV2": convert_depth_anything_v2,
+    "MonSter": convert_monster,
 }
 
 

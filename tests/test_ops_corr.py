@@ -157,3 +157,25 @@ def test_volume_lookup_chunked_matches_dense():
     chunked = corr_ops.volume_lookup_1d_chunked(pyr, x, radius=3, h_chunk=4)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sttr_chunked_attention_matches_unchunked():
+    """RelativeMHA row-chunking (the STTR OOM-resolution path) is
+    numerically identical to the one-shot attention."""
+    import jax
+    from stereo_toolbox_tpu.models.sttr import RelativeMHA
+
+    rng = np.random.RandomState(2)
+    bp, w, c = 10, 12, 16
+    q = jnp.asarray(rng.randn(bp, w, c).astype(np.float32))
+    pos = jnp.asarray(rng.randn(w, w, c).astype(np.float32))
+
+    full = RelativeMHA(num_heads=4)
+    vs = full.init(jax.random.PRNGKey(0), q, q, q, pos)
+    want = full.apply(vs, q, q, q, pos, return_raw=True)
+    # budget of one row's logits → forces lax.map with a ragged tail
+    chunked = RelativeMHA(num_heads=4, attn_budget=4 * w * w * 4 * 3)
+    got = chunked.apply(vs, q, q, q, pos, return_raw=True)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=1e-5, atol=1e-5)

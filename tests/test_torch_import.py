@@ -409,3 +409,55 @@ def test_graft_dav2_other_foundation_models(ref_models, name, kwargs):
 
     new_vars, skipped = graft_dav2_trunk(name, variables, sd)
     assert not [s for s in skipped if "/pretrained/" in s], skipped[:5]
+
+
+def _dav2_vits_cfg():
+    return {"encoder": "vits", "features": 64,
+            "out_channels": [48, 96, 192, 384]}
+
+
+def _ref_monster(ref_models, **overrides):
+    """Instantiate reference MonSter with a synthesized random DAv2
+    checkpoint (the real .pth is not shipped; monster.py:317-320 loads it
+    strict=True, so we intercept torch.load with a matching state dict)."""
+    import argparse
+    import importlib
+    from unittest import mock
+
+    dpt_mod = importlib.import_module(
+        "stereo_toolbox.models.depth_anything_v2.dpt")
+    torch.manual_seed(7)
+    dav2_sd = dpt_mod.DepthAnythingV2(**_dav2_vits_cfg()).state_dict()
+    args = argparse.Namespace(encoder="vits", **overrides)
+    with mock.patch("torch.load", return_value=dav2_sd):
+        return ref_models.Monster(args)
+
+
+def test_monster_parity(ref_models):
+    """MonSter (reference models/MonSter/monster.py:225-520): frozen DAv2
+    mono branch + IGEV stereo branch + coupled mix updates + REMP."""
+    from stereo_toolbox_tpu.models import Monster
+
+    x, y = _stereo_pair(96, 160, seed=11)
+    m = _ref_monster(ref_models, valid_iters=10, train_iters=10)
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("MonSter",
+                        Monster(encoder="vits", valid_iters=10,
+                                train_iters=10),
+                        sd, x, y)[0]
+
+    assert p.shape == t.shape
+    # MonSter's coupled mix iterations amplify float32 drift: the
+    # unnormalized 96-channel correlation lookups have O(1e3) local slope,
+    # so a 3e-5 framework rounding difference in the disparity grows to
+    # ~0.04 px (quarter-res) over 10 iterations even though every submodule
+    # and every per-iteration carry matches bitwise-ish (verified against
+    # hooked reference intermediates during bring-up). The ×4 superpixel
+    # upsample and the REMP residual double it again — so the gate here is
+    # relative: ~0.2-0.3% of the ~90 px mean disparity.
+    scale = np.abs(t).mean()
+    assert np.abs(p - t).mean() / scale < 5e-3, (
+        np.abs(p - t).mean(), scale)
+    assert np.quantile(np.abs(p - t), 0.99) / scale < 2e-2

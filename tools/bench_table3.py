@@ -1,11 +1,17 @@
 """Produce SPEED.md — the reference's Table 3 protocol on the TPU chip.
 
-Eval-forward latency at the reference's three resolutions
-(reference evaluation/speed_and_memory_test.py:11-79, README.md:182-202)
-for the benched model families, with the RTX 4090 numbers alongside.
-Slope-timed (utils/timing.bench_fn); bf16 compute, f32 inputs, batch 1.
+Eval-forward latency AND peak-memory estimate at the reference's three
+resolutions (reference evaluation/speed_and_memory_test.py:11-79,
+README.md:182-202) for every model family, with the RTX 4090 numbers
+alongside. Slope-timed (utils/timing.bench_fn); bf16 compute, f32 inputs,
+batch 1.
 
-Usage: python tools/bench_table3.py [--models psmnet,...]
+Memory column: `device.memory_stats()` is useless through the tunneled
+backend (peak = 0), so we report XLA's compile-time memory analysis
+(`compiled.memory_analysis()`: argument + output + temp + generated-code
+bytes) — the allocation the runtime actually reserves for the executable.
+
+Usage: python tools/bench_table3.py [--models psmnet,...] [--res 1088x1920]
 """
 
 import argparse
@@ -15,23 +21,70 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# RTX 4090 seconds from reference README.md:187-200 (BASELINE.md Table 3)
-GPU_S = {
-    "psmnet": {(480, 640): 0.0396, (736, 1280): 0.1245, (1088, 1920): 0.2866},
-    "gwcnet_gc": {(480, 640): 0.0386, (736, 1280): 0.1326,
-                  (1088, 1920): 0.3093},
-    "raft_stereo": {(480, 640): 0.1967, (736, 1280): 0.3624,
-                    (1088, 1920): 0.7613},
-    "igev_stereo": {(480, 640): 0.2363, (736, 1280): 0.3501,
-                    (1088, 1920): 0.6741},
+# RTX 4090 seconds / peak MB from reference README.md:182-202
+# (BASELINE.md Table 3). None = the reference OOMs on the 24 GB 4090.
+GPU = {
+    "psmnet": [(0.0396, 1787.69), (0.1245, 4956.50), (0.2866, 10687.22)],
+    "gwcnet_gc": [(0.0386, 1882.58), (0.1326, 5251.74), (0.3093, 11326.84)],
+    "cfnet": [(0.0481, 1966.13), (0.1434, 5374.05), (0.3343, 11526.54)],
+    "sttr": [(0.1556, 3036.80), (0.8468, 16588.08), (None, None)],
+    "raft_stereo": [(0.1967, 914.25), (0.3624, 2227.85), (0.7613, 4598.91)],
+    "acvnet": [(0.0494, 2098.31), (0.1664, 6344.20), (0.3848, 14021.82)],
+    "pcwnet_gc": [(0.0888, 3067.07), (0.2769, 8629.70), (0.6419, 18680.02)],
+    "igev_stereo": [(0.2363, 686.43), (0.3501, 1504.02), (0.6741, 2988.35)],
+    "selective_raft": [(0.1776, 731.03), (0.4253, 1559.72),
+                       (0.9899, 3171.54)],
+    "selective_igev": [(0.1853, 600.90), (0.3843, 1406.60),
+                       (0.8850, 2895.57)],
+    "monster": [(0.3375, 2399.86), (0.7188, 3841.63), (1.8735, 6537.50)],
+    "defom_s": [(0.1957, 1062.00), (0.3423, 2424.38), (0.8829, 4886.10)],
+    "defom_l": [(0.2483, 2451.85), (0.5966, 4005.69), (1.7410, 6816.45)],
+    "foundation_s": [(0.2792, 4522.09), (0.6896, 7237.75),
+                     (1.5627, 12145.71)],
+    "foundation_l": [(0.3327, 2811.62), (0.8369, 5569.83),
+                     (1.7758, 10555.90)],
+    "stereoanywhere": [(0.4172, 2785.66), (0.8389, 7810.07),
+                       (2.6662, 22433.76)],
 }
+
+REGISTRY_NAME = {
+    "psmnet": "PSMNet", "gwcnet_gc": "GwcNet_GC", "cfnet": "CFNet",
+    "sttr": "STTR", "raft_stereo": "RAFTStereo", "acvnet": "ACVNet",
+    "pcwnet_gc": "PCWNet_GC", "igev_stereo": "IGEVStereo",
+    "selective_raft": "SelectiveRAFT", "selective_igev": "SelectiveIGEV",
+    "monster": "MonSter", "defom_s": "DEFOMStereo_S",
+    "defom_l": "DEFOMStereo_L", "foundation_s": "FoundationStereo_S",
+    "foundation_l": "FoundationStereo_L", "stereoanywhere": "StereoAnywhere",
+}
+
+RESOLUTIONS = [(480, 640), (736, 1280), (1088, 1920)]
+
+
+def memory_analysis_mb(compiled) -> float | None:
+    """Executable memory from XLA's compile-time analysis, in MB."""
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:
+        return None
+    if ma is None:
+        return None
+    total = 0
+    for attr in ("argument_size_in_bytes", "output_size_in_bytes",
+                 "temp_size_in_bytes", "generated_code_size_in_bytes"):
+        total += getattr(ma, attr, 0) or 0
+    # alias_size is double-counted in argument+output; subtract if present
+    total -= getattr(ma, "alias_size_in_bytes", 0) or 0
+    return total / 2**20 if total else None
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="psmnet,gwcnet_gc,raft_stereo,"
-                                        "igev_stereo")
+    ap.add_argument("--models", default=",".join(GPU.keys()))
+    ap.add_argument("--res", default=None,
+                    help="single HxW to bench instead of all three")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--append", action="store_true",
+                    help="merge into existing SPEED.md rows")
     args = ap.parse_args()
 
     import jax
@@ -39,25 +92,20 @@ def main():
                       os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from stereo_toolbox_tpu import models as zoo
+    from stereo_toolbox_tpu.models import create_model
     from stereo_toolbox_tpu.evaluation import count_params
     from stereo_toolbox_tpu.utils.timing import bench_fn
 
     dtype = jnp.bfloat16
+    resolutions = RESOLUTIONS
+    if args.res:
+        h, w = args.res.split("x")
+        resolutions = [(int(h), int(w))]
 
-    def build(name):
-        return {
-            "psmnet": lambda: zoo.PSMNet(max_disp=192, dtype=dtype),
-            "gwcnet_gc": lambda: zoo.GwcNet_GC(max_disp=192, dtype=dtype),
-            "raft_stereo": lambda: zoo.RAFTStereo(dtype=dtype),
-            "igev_stereo": lambda: zoo.IGEVStereo(dtype=dtype),
-        }[name]()
-
-    resolutions = [(480, 640), (736, 1280), (1088, 1920)]
     rows = []
+    params_m = {}
     for name in args.models.split(","):
-        model = build(name)
-        params = None
+        model = create_model(REGISTRY_NAME[name], dtype=dtype)
         for res in resolutions:
             key = jax.random.PRNGKey(0)
             left = jax.random.normal(key, (1, *res, 3), jnp.float32)
@@ -66,46 +114,73 @@ def main():
             try:
                 variables = jax.jit(model.init, static_argnames="train")(
                     key, left, right, train=False)
-                if params is None:
-                    params = count_params(variables)[0]
+                if name not in params_m:
+                    params_m[name] = count_params(variables)[0] / 1e6
                 fwd = jax.jit(lambda v, l, r, m=model: m.apply(
                     v, l, r, train=False))
+                compiled = fwd.lower(variables, left, right).compile()
+                mb = memory_analysis_mb(compiled)
                 dt = bench_fn(fwd, (variables, left, right))
-            except Exception as e:  # noqa: BLE001 — record OOM/compile fails
-                rows.append((name, res, None, str(e).splitlines()[0][:60]))
+            except Exception as e:  # noqa: BLE001 — record OOM/compile fail
+                rows.append((name, res, None, None,
+                             str(e).splitlines()[0][:60]))
                 print(f"{name} {res}: FAILED {e}", flush=True)
                 continue
-            gpu = GPU_S[name][res]
-            rows.append((name, res, dt, None))
-            print(f"{name} {res}: {dt * 1e3:.2f} ms "
-                  f"({gpu / dt:.2f}x vs 4090)", flush=True)
-            del variables
+            gi = RESOLUTIONS.index(res)
+            gpu_s = GPU[name][gi][0]
+            speed = f"{gpu_s / dt:.2f}x" if gpu_s else "GPU OOM"
+            rows.append((name, res, dt, mb, None))
+            print(f"{name} {res}: {dt * 1e3:.2f} ms, "
+                  f"{mb if mb else float('nan'):.0f} MB ({speed} vs 4090)",
+                  flush=True)
+            del variables, compiled
 
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SPEED.md")
-    lines = [
+    header = [
         "# SPEED — Table 3 protocol on one TPU v5e chip",
         "",
         f"Generated by `tools/bench_table3.py` on {datetime.date.today()}.",
         "Eval forward, batch 1, bf16 compute, iterative models at their",
         "32 eval iterations (reference raft_stereo.py:39-40); slope-timed",
-        "(`utils/timing.bench_fn`). GPU column: RTX 4090 from the",
-        "reference's README.md:182-202 (BASELINE.md Table 3).",
+        "(`utils/timing.bench_fn`). TPU MB = XLA compile-time memory",
+        "analysis (arguments+outputs+temps) — the tunneled backend reports",
+        "no runtime peak stats. GPU columns: RTX 4090 (24 GB) from the",
+        "reference's README.md:182-202 (BASELINE.md Table 3); 'OOM' rows",
+        "are resolutions the reference cannot run at all.",
         "",
-        "| model | resolution | TPU v5e (s) | RTX 4090 (s) | speedup |",
-        "|---|---|---|---|---|",
+        "| model | resolution | TPU v5e (s) | TPU MB | RTX 4090 (s) | "
+        "4090 MB | speedup |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, res, dt, err in rows:
-        gpu = GPU_S[name][res]
+    lines = []
+    for name, res, dt, mb, err in rows:
+        gi = RESOLUTIONS.index(res)
+        gpu_s, gpu_mb = GPU[name][gi]
+        gs = f"{gpu_s:.4f}" if gpu_s else "OOM"
+        gm = f"{gpu_mb:.0f}" if gpu_mb else "OOM"
         if dt is None:
-            lines.append(f"| {name} | {res[0]}×{res[1]} | FAILED ({err}) | "
-                         f"{gpu:.4f} | — |")
+            lines.append(f"| {name} | {res[0]}×{res[1]} | FAILED ({err}) "
+                         f"| — | {gs} | {gm} | — |")
         else:
-            lines.append(f"| {name} | {res[0]}×{res[1]} | {dt:.4f} | "
-                         f"{gpu:.4f} | {gpu / dt:.2f}× |")
-    lines.append("")
+            ms = f"{mb:.0f}" if mb else "n/a"
+            sp = f"{gpu_s / dt:.2f}×" if gpu_s else "∞ (GPU OOM)"
+            lines.append(f"| {name} | {res[0]}×{res[1]} | {dt:.4f} | {ms} "
+                         f"| {gs} | {gm} | {sp} |")
+
+    if args.append and os.path.exists(out):
+        old = open(out).read().splitlines()
+        new_keys = {tuple(ln.split("|")[1:3]) for ln in lines}
+        keep = [ln for ln in old
+                if not (ln.startswith("|")
+                        and tuple(ln.split("|")[1:3]) in new_keys)]
+        text = "\n".join(keep + lines) + "\n"
+    else:
+        params_line = ["", "Params (M): " + ", ".join(
+            f"{k}={v:.2f}" for k, v in params_m.items()), ""]
+        text = "\n".join(header + lines + params_line)
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write(text)
     print(f"wrote {out}")
 
 
