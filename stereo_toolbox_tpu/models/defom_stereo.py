@@ -1,23 +1,32 @@
 """DEFOMStereo (CVPR'25) — depth-foundation-model priors in a RAFT loop.
 
-TPU-native re-design of models/DEFOMStereo/defom_stereo.py:
-  * DefomEncoder: frozen DepthAnythingV2 run at a 14-multiple resolution
-    ≈3.5× the 1/4 grid (utils.py:9-24 `get_danv2_io_size`); its relative
-    inverse depth is normalized per image to ``idepth/max * idepth_scale * W/4
-    + 0.01`` and used as the initial disparity (extractor.py:348-388);
-  * fnet/cnet fuse the DAv2 decoder features into their 1/4-res trunks
-    (extractor.py DefomEncoder-conditioned variants);
-  * two-phase recurrence (defom_stereo.py:139-166): `scale_iters` iterations
-    with a **scale update block** — lookup at ``x0 - s·disp`` for
-    s ∈ scale_list with radius 2 (corr.py:144-160), update
-    ``disp ← relu6(exp(0.25·x))·disp`` (update.py:190-195) — followed by
-    additive updates with the delta clipped to the corr search range
-    (defom_stereo.py:160-162). Both phases are `nn.scan`s;
+TPU-native re-design of models/DEFOMStereo/defom_stereo.py, faithful to the
+reference parameterization (checkpoint-importable, tests/test_torch_import):
+  * DefomEncoder (extractor.py:348-389): frozen DAv2 ViT + TWO DPT heads —
+    the frozen `depth_head` produces left-view inverse depth (its path chain
+    runs at patch-grid sizes, then output_conv1 → resize to the 1/4 grid →
+    output_conv2, dpt.py:118-153), and the TRAINABLE `depth_feat` head
+    (DPTFeat, dpt.py:156-259) resizes the layer_rn maps to 1/4-based sizes
+    and returns [rn1, rn2, rn3] (left) plus per-view path_1 features. The
+    vendored FeatureFusionBlock never auto-upsamples (blocks.py:138
+    `modifier = None`);
+  * idepth is normalized per image to ``idepth/max * idepth_scale * W/4 +
+    0.01`` and used as the initial disparity;
+  * fnet adds `convd(path_1 features)` before its 1×1 output conv
+    (extractor.py:212-241); cnet adds `conv08/16/32(d_features[k])` before
+    each output head (extractor.py:319-345, drop_path = identity in eval);
+  * two-phase recurrence (defom_stereo.py:141-182): `scale_iters` iterations
+    with a scale update block — level-0 lookup at ``x0 - s·disp`` for
+    s ∈ scale_list with radius 2 (corr.py:150-158), update
+    ``disp ← relu6(exp(0.25·x))·disp`` (update.py:190-195) — then additive
+    updates with the delta clipped to the corr search range
+    (defom_stereo.py:160-166). Both phases are `nn.scan`s; the reference's
+    eval protocol upsamples only the final iteration;
   * S/L variants by `dinov2_encoder` ∈ {'vits', 'vitl'}.
 
 Contract: train → list of full-res maps; eval → final map. The DAv2 trunk is
 randomly initialized here (no network access) and frozen via stop_gradient —
-see depth_anything_v2.py.
+the importer loads real weights (utils/torch_import.py convert_defom).
 """
 
 from __future__ import annotations
@@ -29,23 +38,238 @@ import jax
 import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
-from stereo_toolbox_tpu.models.depth_anything_v2 import (PATCH,
-                                                         DepthAnythingV2)
+from stereo_toolbox_tpu.models.depth_anything_v2 import (PATCH, VIT_CONFIGS,
+                                                         DINOv2,
+                                                         FeatureFusionBlock)
 from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
                                                    IMAGENET_STD,
-                                                   BasicEncoder,
                                                    BasicMultiUpdateBlock,
-                                                   MultiBasicEncoder)
+                                                   RAFTResBlock)
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
                                          build_corr_pyramid, corr_lookup_1d)
-from stereo_toolbox_tpu.ops.sampling import sample_1d
+
+_DAV2_FEATURES = {"vits": 64, "vitb": 128, "vitl": 256}
 
 
-def _danv2_size(h4: int, w4: int, max_size: int = 2688):
-    """14-multiple DAv2 input size ≈ 3.5× the 1/4 grid (utils.py:9-24)."""
-    ih = min(-(-int(3.5 * h4) // PATCH) * PATCH, max_size // PATCH * PATCH)
-    iw = min(-(-int(3.5 * w4) // PATCH) * PATCH, max_size // PATCH * PATCH)
-    return ih, iw
+def get_danv2_io_size(h: int, w: int, factor: int = 4,
+                      max_size: int = 2688):
+    """DAv2 input (14-multiple, ≈3.5× the 1/4 grid) and output (1/4 grid)
+    sizes — reference utils/utils.py:9-34 `get_danv2_io_size`."""
+    oh, ow = h // factor, w // factor
+    ih = -(-int(3.5 * oh) // PATCH) * PATCH
+    iw = -(-int(3.5 * ow) // PATCH) * PATCH
+    cap = max_size // PATCH * PATCH
+    ih, iw = min(ih, cap), min(iw, cap)
+    return ih, iw, oh, ow
+
+
+class DEFOMHead(nn.Module):
+    """DEFOM's vendored DPTHead / DPTFeat pair (DEFOMStereo
+    depth_anything_v2/dpt.py:38-259). Identical projects/resizes/layer_rn/
+    refinenet parameterization; `with_output` selects the depth variant."""
+    features: int
+    out_channels: Sequence[int]
+    with_output: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, taps, ph: int, pw: int, out_size):
+        dt = self.dtype
+        from stereo_toolbox_tpu.ops.upsample import interpolate
+        outs = []
+        resizes = ("up4", "up2", "id", "down2")
+        for i, (tokens, _cls) in enumerate(taps):
+            b, n, c = tokens.shape
+            x = tokens.reshape(b, ph, pw, c)
+            x = nn.Conv(self.out_channels[i], (1, 1), dtype=dt,
+                        name=f"project{i}")(x)
+            mode = resizes[i]
+            if mode == "up4":
+                x = nn.ConvTranspose(self.out_channels[i], (4, 4),
+                                     strides=(4, 4), padding="VALID",
+                                     dtype=dt, name=f"resize{i}")(x)
+            elif mode == "up2":
+                x = nn.ConvTranspose(self.out_channels[i], (2, 2),
+                                     strides=(2, 2), padding="VALID",
+                                     dtype=dt, name=f"resize{i}")(x)
+            elif mode == "down2":
+                x = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), dtype=dt,
+                            name=f"resize{i}")(x)
+            outs.append(x)
+
+        rn = [nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                      dtype=dt, name=f"layer{i + 1}_rn")(o)
+              for i, o in enumerate(outs)]
+        l1, l2, l3, l4 = rn
+        oh, ow = out_size
+        if not self.with_output:
+            # DPTFeat resizes the rn maps onto the 1/4-based pyramid before
+            # the fusion chain (dpt.py:247-252)
+            l1 = interpolate(l1, (oh, ow), (1, 2), align_corners=True)
+            l2 = interpolate(l2, (oh // 2, ow // 2), (1, 2),
+                             align_corners=True)
+            l3 = interpolate(l3, (oh // 4, ow // 4), (1, 2),
+                             align_corners=True)
+            l4 = interpolate(l4, (oh // 8, ow // 8), (1, 2),
+                             align_corners=True)
+
+        p4 = FeatureFusionBlock(self.features, dtype=dt, name="refine4")(
+            l4, size=l3.shape[1:3])
+        p3 = FeatureFusionBlock(self.features, dtype=dt, name="refine3")(
+            p4, l3, size=l2.shape[1:3])
+        p2 = FeatureFusionBlock(self.features, dtype=dt, name="refine2")(
+            p3, l2, size=l1.shape[1:3])
+        # vendored block has no default 2× resize (blocks.py:138)
+        p1 = FeatureFusionBlock(self.features, dtype=dt, name="refine1")(
+            p2, l1, size=l1.shape[1:3])
+
+        if not self.with_output:
+            return [l1, l2, l3], p1
+        out = nn.Conv(self.features // 2, (3, 3), padding="SAME", dtype=dt,
+                      name="output_conv1")(p1)
+        out = interpolate(out, (oh, ow), (1, 2), align_corners=True)
+        h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
+                            name="output_conv2a")(out))
+        idepth = nn.relu(nn.Conv(1, (1, 1), dtype=dt,
+                                 name="output_conv2b")(h))
+        return idepth[..., 0]
+
+
+class DefomEncoder(nn.Module):
+    """extractor.py:348-389: DAv2 trunk + depth/feat heads + idepth prior."""
+    encoder: str = "vits"
+    idepth_scale: float = 0.5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, both, io_sizes):
+        ih, iw, oh, ow = io_sizes
+        cfg = VIT_CONFIGS[self.encoder]
+        features = _DAV2_FEATURES[self.encoder]
+        x = ops.interpolate(both, (ih, iw), (1, 2), align_corners=True)
+        taps = DINOv2(self.encoder, dtype=self.dtype, name="pretrained")(
+            x, cfg["taps"])
+        b = both.shape[0] // 2
+        ph, pw = ih // PATCH, iw // PATCH
+        # the depth head only processes the LEFT half (dpt.py:123)
+        taps_left = [(t[:b], c[:b]) for t, c in taps]
+        idepth = DEFOMHead(features, cfg["out_channels"], with_output=True,
+                           dtype=self.dtype, name="depth_head")(
+            taps_left, ph, pw, (oh, ow))
+        d_feats, p1 = DEFOMHead(features, cfg["out_channels"],
+                                with_output=False, dtype=self.dtype,
+                                name="depth_feat")(taps, ph, pw, (oh, ow))
+        idepth = jax.lax.stop_gradient(idepth)
+        max_id = jax.lax.stop_gradient(
+            idepth.reshape(b, -1).max(axis=1))[:, None, None] + 1e-8
+        disp = idepth / max_id * self.idepth_scale * ow + 0.01
+        d_feats = [jax.lax.stop_gradient(f[:b]) for f in d_feats]
+        return d_feats, p1[:b], p1[b:], disp
+
+
+class _ConvBlock(nn.Module):
+    """extractor.py:11-46 `ConvBlock`: conv(bias) + norm1 + relu. The torch
+    module registers dead norm2/norm3 params for batch norm (converter
+    marks them unused)."""
+    features: int
+    norm: str = "instance"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv")(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        elif self.norm == "instance":
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                             use_scale=False, epsilon=1e-5,
+                             name="norm1")(x)
+        return nn.relu(x)
+
+
+class DefomBasicEncoder(nn.Module):
+    """fnet with additive DAv2 path_1 fusion (extractor.py:163-241)."""
+    output_dim: int = 256
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, dfeats):
+        x = nn.Conv(64, (7, 7), padding="SAME", dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                         use_scale=False, epsilon=1e-5, name="norm1")(x)
+        x = nn.relu(x)
+        n = 0
+        for dim, stride in ((64, 1), (96, 2), (128, 2)):
+            x = RAFTResBlock(dim, "instance", stride, dtype=self.dtype,
+                             name=f"RAFTResBlock_{n}")(x)
+            x = RAFTResBlock(dim, "instance", 1, dtype=self.dtype,
+                             name=f"RAFTResBlock_{n + 1}")(x)
+            n += 2
+        x = x + _ConvBlock(128, "instance", dtype=self.dtype,
+                           name="convd")(dfeats)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name="conv2")(x)
+
+
+class DefomMultiEncoder(nn.Module):
+    """cnet with per-scale additive DAv2 feature fusion
+    (extractor.py:243-345). drop_path is identity at inference."""
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, d_feats, train: bool = False):
+        dt = self.dtype
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                epsilon=1e-5, dtype=dt, name=name)
+
+        x = nn.Conv(64, (7, 7), padding="SAME", dtype=dt, name="conv1")(x)
+        x = nn.relu(bn("norm1")(x))
+        n = 0
+        for dim, stride in ((64, 1), (96, 2), (128, 2)):
+            x = RAFTResBlock(dim, "batch", stride, dtype=dt,
+                             name=f"RAFTResBlock_{n}")(x)
+            x = RAFTResBlock(dim, "batch", 1, dtype=dt,
+                             name=f"RAFTResBlock_{n + 1}")(x)
+            n += 2
+
+        outputs = []
+        feat = x + _ConvBlock(128, "batch", dtype=dt, name="conv08")(
+            d_feats[0])
+        pair = []
+        for j in range(2):
+            h = RAFTResBlock(128, "batch", 1, dtype=dt,
+                             name=f"res08_{j}")(feat)
+            pair.append(nn.Conv(self.hidden_dims[2], (3, 3), padding="SAME",
+                                dtype=dt, name=f"out08_{j}")(h))
+        outputs.append(tuple(pair))
+
+        y = RAFTResBlock(128, "batch", 2, dtype=dt, name="RAFTResBlock_6")(x)
+        y = RAFTResBlock(128, "batch", 1, dtype=dt, name="RAFTResBlock_7")(y)
+        feat = y + _ConvBlock(128, "batch", dtype=dt, name="conv16")(
+            d_feats[1])
+        pair = []
+        for j in range(2):
+            h = RAFTResBlock(128, "batch", 1, dtype=dt,
+                             name=f"res16_{j}")(feat)
+            pair.append(nn.Conv(self.hidden_dims[1], (3, 3), padding="SAME",
+                                dtype=dt, name=f"out16_{j}")(h))
+        outputs.append(tuple(pair))
+
+        z = RAFTResBlock(128, "batch", 2, dtype=dt, name="RAFTResBlock_8")(y)
+        z = RAFTResBlock(128, "batch", 1, dtype=dt, name="RAFTResBlock_9")(z)
+        feat = z + _ConvBlock(128, "batch", dtype=dt, name="conv32")(
+            d_feats[2])
+        outputs.append(tuple(
+            nn.Conv(self.hidden_dims[0], (3, 3), padding="SAME", dtype=dt,
+                    name=f"out32_{j}")(feat) for j in range(2)))
+        return outputs  # [(h04,c04), (h08,c08), (h16,c16)] fine→coarse
 
 
 def _maybe_blend(skip_unemitted, emit, disp, mask, factor):
@@ -143,53 +367,28 @@ class DEFOMStereo(nn.Module):
                           else scale_iters, iters)
         factor = 2 ** self.n_downsample
         b, h, w, _ = left.shape
-        h4, w4 = h // factor, w // factor
+        io_sizes = get_danv2_io_size(h, w, factor)
+        h4, w4 = io_sizes[2], io_sizes[3]
 
-        mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
-        std = jnp.asarray(IMAGENET_STD, left.dtype)
-        if self.imagenet_norm_input:
-            img1 = 2.0 * (left * std + mean) - 1.0
-            img2 = 2.0 * (right * std + mean) - 1.0
-        else:
-            img1, img2 = left, right
+        # images stay ImageNet-normalized throughout (defom_stereo.py:116)
+        img1, img2 = left, right
+        if not self.imagenet_norm_input:
+            mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
+            std = jnp.asarray(IMAGENET_STD, left.dtype)
+            img1 = (left - mean) / std
+            img2 = (right - mean) / std
 
-        # --- frozen DAv2 prior ------------------------------------------
-        ih, iw = _danv2_size(h4, w4)
-        danv2 = DepthAnythingV2(self.dinov2_encoder, dtype=self.dtype,
-                                name="defomencoder")
-        both = jnp.concatenate([left, right], axis=0)  # ImageNet-normalized
-        both_r = ops.interpolate(both, (ih, iw), (1, 2), align_corners=True)
-        idepth_all, feats = danv2(both_r, return_features=True)
-        idepth_all = jax.lax.stop_gradient(idepth_all)
-        dfeat = jax.lax.stop_gradient(feats["path_1"])
+        both = jnp.concatenate([img1, img2], axis=0)
+        d_feats, dfeat1, dfeat2, disp = DefomEncoder(
+            self.dinov2_encoder, self.idepth_scale, dtype=self.dtype,
+            name="defomencoder")(both, io_sizes)
 
-        idepth = ops.interpolate(idepth_all[:b], (h4, w4), (1, 2),
-                                 align_corners=True)
-        max_id = jax.lax.stop_gradient(
-            idepth.reshape(b, -1).max(axis=1))[:, None, None] + 1e-8
-        disp = idepth / max_id * self.idepth_scale * w4 + 0.01
-
-        dfeat = ops.interpolate(dfeat, (h4, w4), (1, 2), align_corners=True)
-        dfeat1, dfeat2 = dfeat[:b], dfeat[b:]
-
-        # --- encoders with DAv2 fusion ----------------------------------
-        fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
-        ffuse = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
-                        name="fnet_fuse")
-        fmap1 = ffuse(jnp.concatenate(
-            [fnet(img1), dfeat1.astype(img1.dtype)], -1)).astype(jnp.float32)
-        fmap2 = ffuse(jnp.concatenate(
-            [fnet(img2), dfeat2.astype(img2.dtype)], -1)).astype(jnp.float32)
-
-        cnet_out = MultiBasicEncoder(self.hidden_dims, self.hidden_dims,
-                                     norm="batch", dtype=self.dtype,
-                                     name="cnet")(img1)
-        cfuse = nn.Conv(self.hidden_dims[0] * 2, (3, 3), padding="SAME",
-                        dtype=self.dtype, name="cnet_fuse")
-        h0, c0 = cnet_out[0]
-        fused = cfuse(jnp.concatenate(
-            [h0, c0, dfeat1.astype(h0.dtype)], -1))
-        cnet_out = [tuple(jnp.split(fused, 2, axis=-1))] + list(cnet_out[1:])
+        cnet_out = DefomMultiEncoder(self.hidden_dims, dtype=self.dtype,
+                                     name="cnet")(img1, d_feats, train)
+        fmaps = DefomBasicEncoder(256, dtype=self.dtype, name="fnet")(
+            both, jnp.concatenate([dfeat1, dfeat2], axis=0))
+        fmap1 = fmaps[:b].astype(jnp.float32)
+        fmap2 = fmaps[b:].astype(jnp.float32)
 
         nets = tuple(jnp.tanh(hh) for hh, _ in cnet_out)
         contexts = []

@@ -149,7 +149,10 @@ class MultiBasicEncoder(nn.Module):
 
 
 class BasicMotionEncoder(nn.Module):
-    """update.py:65-87: corr + flow → 128-dim motion features."""
+    """update.py:65-87: corr + flow → 128-dim motion features. The final
+    conv emits ``128 - flow_channels`` so the concat with the raw flow is
+    always 128 (126 for RAFT's 2-ch epipolar flow, 127 for DEFOM's 1-ch
+    disparity — DEFOMStereo/update.py:70-88)."""
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -159,7 +162,8 @@ class BasicMotionEncoder(nn.Module):
         f = nn.relu(nn.Conv(64, (7, 7), padding="SAME",
                             dtype=self.dtype)(flow))
         f = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(f))
-        out = nn.relu(nn.Conv(126, (3, 3), padding="SAME", dtype=self.dtype)(
+        out = nn.relu(nn.Conv(128 - flow.shape[-1], (3, 3), padding="SAME",
+                              dtype=self.dtype)(
             jnp.concatenate([c, f], axis=-1)))
         return jnp.concatenate([out, flow], axis=-1)
 

@@ -107,11 +107,13 @@ def softlrc(disp2, disp3, lrc_th: float = 1.0):
 
 def weighted_lsq(mde, disp, conf):
     """Confidence-weighted scale/shift (stereoanywhere.py:223-229).
-    mde/disp/conf: [B, H, W] (already pooled over views by concatenation)."""
+    mde/disp/conf: [B, H, W] (already pooled over views by concatenation).
+    The 2×2 solve must run in f32 — XLA's LuDecomposition has no bf16
+    kernel on TPU (seen as a compile failure at bench time)."""
     def per_image(m, d, c):
-        w = c.reshape(-1)
-        x = m.reshape(-1)
-        y = d.reshape(-1)
+        w = c.reshape(-1).astype(jnp.float32)
+        x = m.reshape(-1).astype(jnp.float32)
+        y = d.reshape(-1).astype(jnp.float32)
         sw = w.sum() + 1e-6
         sx = (w * x).sum()
         sxx = (w * x * x).sum() + 1e-6
@@ -258,6 +260,9 @@ class StereoAnywhere(nn.Module):
     valid_iters: int = 32
     vol_n_masks: int = 8
     normal_gain: int = 10
+    # trilinear (H, W, W') volume downsampling factor 2^k — the reference's
+    # high-res memory valve (stereoanywhere.py:173-205)
+    vol_downsample: int = 0
     lrc_th: float = 1.0
     init_disparity_zero: bool = False
     imagenet_norm_input: bool = True
@@ -322,13 +327,36 @@ class StereoAnywhere(nn.Module):
         masks_l = generate_masks(mde2_low, self.vol_n_masks)
         masks_r = generate_masks(mde3_low, self.vol_n_masks)
         gate = jnp.einsum("bnhw,bnhv->bhwv", masks_l, masks_r)
-        masked_s = (vol_s * gate)[..., None]
+        masked_s = vol_s * gate
+
+        # optional trilinear volume downsampling for high resolution
+        # (stereoanywhere.py:173-205 `vol_downsample`) — the reference's own
+        # memory valve, upsampled back after aggregation
+        hd, wd, vd = h4, w4, w4
+        feats_lo = (mde2_low, mde3_low)
+        if self.vol_downsample > 0:
+            s = 2 ** self.vol_downsample
+            hd, wd, vd = h4 // s, w4 // s, w4 // s
+            masked_s = ops.interpolate(masked_s, (hd, wd, vd), (1, 2, 3),
+                                       align_corners=True)
+            vol_m = ops.interpolate(vol_m, (hd, wd, vd), (1, 2, 3),
+                                    align_corners=True)
+            feats_lo = tuple(
+                ops.interpolate(f, (hd, wd), (1, 2), align_corners=True)
+                for f in feats_lo)
 
         agg_s = VolumeHourglass(8, 1, dtype=dt, name="hourglass_stereo")(
-            masked_s, mde2_low, mde3_low, train)[..., 0]
+            masked_s[..., None], *feats_lo, train)[..., 0]
         agg_m2 = VolumeHourglass(8, 2, dtype=dt, name="hourglass_mono")(
-            vol_m[..., None], mde2_low, mde3_low, train)
+            vol_m[..., None], *feats_lo, train)
         agg_m, conf_m = agg_m2[..., 0], agg_m2[..., 1]
+        if self.vol_downsample > 0:
+            agg_s = ops.interpolate(agg_s, (h4, w4, w4), (1, 2, 3),
+                                    align_corners=True)
+            agg_m = ops.interpolate(agg_m, (h4, w4, w4), (1, 2, 3),
+                                    align_corners=True)
+            conf_m = ops.interpolate(conf_m, (h4, w4, w4), (1, 2, 3),
+                                     align_corners=True)
 
         # --- coarse disparities + confidences + scale/shift ---------------
         disp2_m = estimate_left_disparity(agg_m)

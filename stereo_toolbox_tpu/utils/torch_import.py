@@ -1162,6 +1162,160 @@ def convert_monster(sd: dict, encoder: str = None) -> tuple[dict, list]:
                                    "cost_agg.conv1_up.bn"))
 
 
+def _defom_head(b: _Builder, f: str, t: str, with_output: bool) -> None:
+    """DEFOM's vendored DPTHead / DPTFeat (DEFOMStereo
+    depth_anything_v2/dpt.py:38-259) → our DEFOMHead scope."""
+    for i in range(4):
+        b.conv(f"{f}/project{i}", f"{t}.projects.{i}", bias=True)
+        if i in (0, 1):
+            b.conv_transpose(f"{f}/resize{i}", f"{t}.resize_layers.{i}",
+                             bias=True)
+        elif i == 3:
+            b.conv(f"{f}/resize{i}", f"{t}.resize_layers.{i}", bias=True)
+        b.conv(f"{f}/layer{i + 1}_rn", f"{t}.scratch.layer{i + 1}_rn")
+    for i in (1, 2, 3, 4):
+        tt = f"{t}.scratch.refinenet{i}"
+        ff = f"{f}/refine{i}"
+        units = (("resConfUnit2", "ResidualConvUnit_0"),) if i == 4 else \
+            (("resConfUnit1", "ResidualConvUnit_0"),
+             ("resConfUnit2", "ResidualConvUnit_1"))
+        for tu, fu in units:
+            b.conv(f"{ff}/{fu}/Conv_0", f"{tt}.{tu}.conv1", bias=True)
+            b.conv(f"{ff}/{fu}/Conv_1", f"{tt}.{tu}.conv2", bias=True)
+        b.conv(f"{ff}/Conv_0", f"{tt}.out_conv", bias=True)
+    if with_output:
+        b.conv(f"{f}/output_conv1", f"{t}.scratch.output_conv1", bias=True)
+        b.conv(f"{f}/output_conv2a", f"{t}.scratch.output_conv2.0",
+               bias=True)
+        b.conv(f"{f}/output_conv2b", f"{t}.scratch.output_conv2.2",
+               bias=True)
+
+
+def _raft_update_block(b: _Builder, flax_ub: str, torch_ub: str,
+                       flow_convs=("convd1", "convd2")) -> None:
+    """RAFT-style BasicMultiUpdateBlock (DEFOMStereo/update.py:105-149)."""
+    for g in ("gru08", "gru16", "gru32"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{flax_ub}/{g}/{c}", f"{torch_ub}.{g}.{c}", bias=True)
+    names = ("convc1", "convc2") + tuple(flow_convs) + ("conv",)
+    for i, t in enumerate(names):
+        b.conv(f"{flax_ub}/encoder/Conv_{i}", f"{torch_ub}.encoder.{t}",
+               bias=True)
+    b.conv(f"{flax_ub}/flow_head_1", f"{torch_ub}.disp_head.conv1",
+           bias=True)
+    b.conv(f"{flax_ub}/flow_head_2", f"{torch_ub}.disp_head.conv2",
+           bias=True)
+    b.conv(f"{flax_ub}/mask_1", f"{torch_ub}.mask.0", bias=True)
+    b.conv(f"{flax_ub}/mask_2", f"{torch_ub}.mask.2", bias=True)
+
+
+def convert_defom(sd: dict, encoder: str = None) -> tuple[dict, list]:
+    """Reference DEFOMStereo (models/DEFOMStereo/defom_stereo.py:25-182) →
+    our DEFOMStereo variables: DAv2 trunk + frozen depth head + trainable
+    DPTFeat head, additive-fusion fnet/cnet, and the scale/refine update
+    blocks."""
+    sd = {k: v for k, v in sd.items() if k not in ("mean", "std")}
+    b = _Builder(sd)
+
+    # --- DefomEncoder: ViT trunk (reuse the shared DAv2 mapping) ----------
+    da = "defomencoder.depth_anything"
+    sub = {}
+    for k, v in b.sd.items():
+        if k.startswith(f"{da}.pretrained."):
+            sub["pretrained." + k[len(f"{da}.pretrained."):]] = v
+            b.used.add(k)
+    if encoder is None:
+        d = sub["pretrained.cls_token"].shape[-1]
+        encoder = {384: "vits", 768: "vitb", 1024: "vitl"}[d]
+    trunk_b = _Builder(sub)
+    heads, depth = _DAV2_HEADS[encoder], _DAV2_DEPTH[encoder]
+    p = "pretrained"
+    trunk_b.conv(f"{p}/patch_embed", f"{p}.patch_embed.proj", bias=True)
+    trunk_b.raw(f"{p}/cls_token", f"{p}.cls_token")
+    trunk_b.raw(f"{p}/pos_embed", f"{p}.pos_embed")
+    for i in range(depth):
+        t = f"{p}.blocks.{i}"
+        f = f"{p}/block{i}"
+        trunk_b.layernorm(f"{f}/LayerNorm_0", f"{t}.norm1")
+        trunk_b.attention(f"{f}/MultiHeadDotProductAttention_0", f"{t}.attn",
+                          heads)
+        trunk_b.raw(f"{f}/ls1", f"{t}.ls1.gamma")
+        trunk_b.layernorm(f"{f}/LayerNorm_1", f"{t}.norm2")
+        trunk_b.dense(f"{f}/Dense_0", f"{t}.mlp.fc1")
+        trunk_b.dense(f"{f}/Dense_1", f"{t}.mlp.fc2")
+        trunk_b.raw(f"{f}/ls2", f"{t}.ls2.gamma")
+    for i in _DAV2_TAPS[encoder]:
+        _set(trunk_b.params, f"{p}/tapnorm{i}/scale",
+             trunk_b._take(f"{p}.norm.weight"))
+        _set(trunk_b.params, f"{p}/tapnorm{i}/bias",
+             trunk_b._take(f"{p}.norm.bias"))
+    de = b.params.setdefault("defomencoder", {})
+    de.update(trunk_b.params)
+
+    # --- the two DPT heads ------------------------------------------------
+    hb = _Builder({k[len(da) + 1:]: v for k, v in b.sd.items()
+                   if k.startswith(f"{da}.depth_head.")
+                   or k.startswith(f"{da}.depth_feat.")})
+    for k in b.sd:
+        if k.startswith(f"{da}.depth_head.") or \
+                k.startswith(f"{da}.depth_feat."):
+            b.used.add(k)
+    _defom_head(hb, "depth_head", "depth_head", with_output=True)
+    _defom_head(hb, "depth_feat", "depth_feat", with_output=False)
+    de.update(hb.params)
+
+    # --- fnet (instance norm — param-free) --------------------------------
+    b.conv("fnet/conv1", "fnet.conv1", bias=True)
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"fnet/RAFTResBlock_{n}", f"fnet.{layer}.{blk}",
+                      "instance", down and blk == 0)
+            n += 1
+    b.conv("fnet/convd/conv", "fnet.convd.conv", bias=True)
+    b.conv("fnet/conv2", "fnet.conv2", bias=True)
+
+    # --- cnet (batch norm, additive DAv2 fusion) --------------------------
+    b.conv("cnet/conv1", "cnet.conv1", bias=True)
+    b.bn("cnet/norm1", "cnet.norm1")
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"cnet/RAFTResBlock_{n}", f"cnet.{layer}.{blk}",
+                      "batch", down and blk == 0)
+            n += 1
+    _raft_res(b, "cnet/RAFTResBlock_6", "cnet.layer4.0", "batch", True)
+    _raft_res(b, "cnet/RAFTResBlock_7", "cnet.layer4.1", "batch", False)
+    _raft_res(b, "cnet/RAFTResBlock_8", "cnet.layer5.0", "batch", True)
+    _raft_res(b, "cnet/RAFTResBlock_9", "cnet.layer5.1", "batch", False)
+    for s in ("08", "16", "32"):
+        b.conv(f"cnet/conv{s}/conv", f"cnet.conv{s}.conv", bias=True)
+        b.bn(f"cnet/conv{s}/norm1", f"cnet.conv{s}.norm1")
+    for s in ("08", "16"):
+        for j in range(2):
+            _raft_res(b, f"cnet/res{s}_{j}", f"cnet.outputs{s}.{j}.0",
+                      "batch", False)
+            b.conv(f"cnet/out{s}_{j}", f"cnet.outputs{s}.{j}.1", bias=True)
+    for j in range(2):
+        b.conv(f"cnet/out32_{j}", f"cnet.outputs32.{j}", bias=True)
+
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+
+    _raft_update_block(b, "refine_phase/update_block", "update_block")
+    _raft_update_block(b, "scale_phase/scale_update_block",
+                       "scale_update_block")
+
+    # Dead params: ResidualBlock double-registered norm3 (.norm3.),
+    # ConvBlock's unused norm2/norm3 (extractor.py:11-46), DAv2 artifacts.
+    return b.finish(expect_unused=(
+        "num_batches_tracked", ".norm3.", "convd.norm2", "conv08.norm2",
+        "conv16.norm2", "conv32.norm2", "refinenet4.resConfUnit1",
+        "mask_token"))
+
+
 # Scope under which each foundation-tier model embeds its DAv2 trunk
 DAV2_SCOPES = {
     "MonSter": "mono",
@@ -1239,6 +1393,8 @@ CONVERTERS = {
     "SelectiveIGEV": convert_selective_igev,
     "DepthAnythingV2": convert_depth_anything_v2,
     "MonSter": convert_monster,
+    "DEFOMStereo_S": convert_defom,
+    "DEFOMStereo_L": convert_defom,
 }
 
 

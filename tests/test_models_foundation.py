@@ -89,3 +89,18 @@ def test_stereoanywhere():
                        mutable=["batch_stats"])[0]
     assert pred.shape == (1, 32, 64)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_stereoanywhere_vol_downsample():
+    """The reference's high-res memory valve (stereoanywhere.py:173-205):
+    volumes aggregated at 1/2 scale, upsampled back — output shape and
+    finiteness preserved."""
+    from stereo_toolbox_tpu.models import StereoAnywhere
+    left, right = _inputs(h=32, w=64)
+    model = StereoAnywhere(train_iters=2, valid_iters=2, corr_levels=2,
+                           vol_downsample=1)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    pred = model.apply(variables, left, right, train=False,
+                       mutable=["batch_stats"])[0]
+    assert pred.shape == (1, 32, 64)
+    assert np.isfinite(np.asarray(pred)).all()

@@ -75,3 +75,80 @@ def test_spatial_apply_psmnet_matches_single_device():
         band = close[:, max(y - 2, 0):y + 2]
         assert band.mean() > 0.999, f"boundary y={y}: " \
             f"{(~band).sum()}/{band.size} mismatch"
+
+
+def _band_check(got, want, shards=8, rtol=1e-4, atol=1e-4, max_abs=6.0):
+    close = np.isclose(got, want, rtol=rtol, atol=atol)
+    assert close.mean() > 0.999, f"{(~close).sum()}/{close.size} mismatch"
+    assert np.abs(got - want).max() < max_abs
+    h = got.shape[1]
+    for y in range(h // shards, h, h // shards):
+        band = close[:, max(y - 2, 0):y + 2]
+        assert band.mean() > 0.999, f"boundary y={y}: " \
+            f"{(~band).sum()}/{band.size} mismatch"
+
+
+@pytest.mark.slow
+def test_spatial_apply_raft_matches_single_device():
+    """Iterative (nn.scan) model under H sharding: the banded-correlation
+    build and per-iteration lookups must not induce cross-shard gathers or
+    wrong halos (round-3 verdict weak #4)."""
+    from stereo_toolbox_tpu.models import RAFTStereo
+    mesh = make_mesh(data=1, spatial=8)
+    rng = np.random.RandomState(2)
+    left = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    model = RAFTStereo(valid_iters=3)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+
+    def apply_fn(v, l, r):
+        return model.apply(v, l, r, train=False)
+
+    want = np.asarray(jax.jit(apply_fn)(variables, left, right))
+    got = np.asarray(spatial_apply(apply_fn, mesh)(variables, left, right))
+    _band_check(got, want)
+
+
+@pytest.mark.slow
+def test_spatial_apply_igev_matches_single_device():
+    """IGEV under H sharding: GEV hourglass (3D convs with H halos) + the
+    combined geo/corr lookup + superpixel upsample, all sharded."""
+    from stereo_toolbox_tpu.models import IGEVStereo
+    mesh = make_mesh(data=1, spatial=8)
+    rng = np.random.RandomState(3)
+    left = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    right = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    model = IGEVStereo(max_disp=32, valid_iters=3)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+
+    def apply_fn(v, l, r):
+        out = model.apply(v, l, r, train=False, mutable=["batch_stats"])
+        return out[0]
+
+    want = np.asarray(jax.jit(apply_fn)(variables, left, right))
+    got = np.asarray(spatial_apply(apply_fn, mesh)(variables, left, right))
+    _band_check(got, want)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_raft_8_devices():
+    """Sharded data×spatial TRAIN step for an nn.scan model: gradients of
+    the banded lookup + GRU recurrence compile and produce finite loss."""
+    from stereo_toolbox_tpu.models import RAFTStereo
+    from stereo_toolbox_tpu.trainer import (TrainConfig, init_train_state,
+                                            make_train_step)
+    mesh = make_mesh(data=4, spatial=2)
+    config = TrainConfig(lr=1e-4, max_disp=16, loss="sequence",
+                         batch_size=4)
+    model = RAFTStereo(train_iters=2, valid_iters=2)
+    rng = np.random.RandomState(4)
+    batch = {
+        "left": rng.randn(4, 32, 64, 3).astype(np.float32),
+        "right": rng.randn(4, 32, 64, 3).astype(np.float32),
+        "gt_disp": np.abs(rng.randn(4, 32, 64) * 4).astype(np.float32),
+    }
+    state = init_train_state(model, config, batch, total_steps=10)
+    step = make_train_step(model, config, mesh=mesh)
+    sharded = shard_batch(batch, mesh, spatial=True)
+    state, loss = step(state, sharded)
+    assert np.isfinite(float(loss))

@@ -461,3 +461,30 @@ def test_monster_parity(ref_models):
     assert np.abs(p - t).mean() / scale < 5e-3, (
         np.abs(p - t).mean(), scale)
     assert np.quantile(np.abs(p - t), 0.99) / scale < 2e-2
+
+
+def test_defom_parity(ref_models):
+    """DEFOMStereo (reference models/DEFOMStereo/defom_stereo.py:25-182):
+    DAv2 trunk + DPTFeat head, additive-fusion encoders, scale-then-refine
+    recurrence. The reference skips the DAv2 checkpoint load when the .pth
+    is absent, so no torch.load interception is needed."""
+    import argparse
+    from stereo_toolbox_tpu.models import DEFOMStereo
+
+    x, y = _stereo_pair(96, 160, seed=13)
+    torch.manual_seed(13)
+    m = ref_models.DEFOMStereo(argparse.Namespace(
+        dinov2_encoder="vits", valid_iters=10, train_iters=10))
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("DEFOMStereo_S",
+                        DEFOMStereo(dinov2_encoder="vits", valid_iters=10,
+                                    train_iters=10),
+                        sd, x, y)[0]
+
+    assert p.shape == t.shape
+    scale = max(np.abs(t).mean(), 1.0)
+    assert np.abs(p - t).mean() / scale < 5e-3, (
+        np.abs(p - t).mean(), scale)
+    assert np.quantile(np.abs(p - t), 0.99) / scale < 2e-2

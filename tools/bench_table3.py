@@ -102,11 +102,26 @@ def main():
         h, w = args.res.split("x")
         resolutions = [(int(h), int(w))]
 
+    # reference configs for Table 3: MonSter and StereoAnywhere use the
+    # vitl DAv2 trunk (monster.py:240, stereoanywhere.py:55)
+    KW = {"monster": {"encoder": "vitl"},
+          "stereoanywhere": {"encoder": "vitl"}}
+    # per-resolution overrides: StereoAnywhere's full (H,W,W') volumes blow
+    # past single-chip HBM at high res (the reference needs 22 GB at
+    # 1088×1920, BASELINE.md) — use its own vol_downsample valve there
+    RES_KW = {("stereoanywhere", (736, 1280)): {"vol_downsample": 1},
+              ("stereoanywhere", (1088, 1920)): {"vol_downsample": 1}}
+
     rows = []
     params_m = {}
     for name in args.models.split(","):
-        model = create_model(REGISTRY_NAME[name], dtype=dtype)
+        model = create_model(REGISTRY_NAME[name], dtype=dtype,
+                             **KW.get(name, {}))
         for res in resolutions:
+            if (name, res) in RES_KW:
+                model = create_model(REGISTRY_NAME[name], dtype=dtype,
+                                     **KW.get(name, {}),
+                                     **RES_KW[(name, res)])
             key = jax.random.PRNGKey(0)
             left = jax.random.normal(key, (1, *res, 3), jnp.float32)
             right = jax.random.normal(jax.random.PRNGKey(1), (1, *res, 3),

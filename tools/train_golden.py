@@ -53,6 +53,14 @@ def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
         config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
                              clip_grad=1.0)
         model = RAFTStereo(train_iters=4, valid_iters=4)
+    elif model_name == "igev_stereo":
+        # third artifact (round-3 verdict item 9): an nn.scan model whose
+        # full train loop (GEV trunk + banded lookups + GRU scan +
+        # superpixel upsample) sits under the regression gate
+        from stereo_toolbox_tpu.models import IGEVStereo
+        config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
+                             clip_grad=1.0)
+        model = IGEVStereo(max_disp=48, train_iters=4, valid_iters=4)
     else:
         config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
                              clip_grad=1.0)
@@ -106,6 +114,6 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--out", default=GOLDEN)
     ap.add_argument("--model", default="psmnet",
-                    choices=["psmnet", "raft_stereo"])
+                    choices=["psmnet", "raft_stereo", "igev_stereo"])
     a = ap.parse_args()
     run(a.steps, a.out, a.model)
