@@ -91,6 +91,19 @@ class HourglassAttn(nn.Module):
         return nn.relu(up6 + r1)
 
 
+class _DWParams(nn.Module):
+    """Parameter-only twin of the grouped nn.Conv in `_depthwise`: creates
+    the identical ``[1, 3, 3, 1, C]`` kernel under the same scope name so
+    checkpoints/converters are layout-independent."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (1, 3, 3, 1, self.features))
+
+
 class ACVNet(nn.Module):
     max_disp: int = 192
     attn_weights_only: bool = False
@@ -99,14 +112,27 @@ class ACVNet(nn.Module):
     concat_channels: int = 32
     dtype: jnp.dtype | None = None
 
+
+
     def _depthwise(self, x, dilation, name):
-        """Depthwise (1,3,3) 3D conv (the reference 'patch' convs)."""
+        """Depthwise (1,3,3) 3D conv (the reference 'patch' convs).
+
+        Measured note (round 4): an unrolled 9-shift VPU formulation was
+        tried here and LOST badly (468 → 671 ms full-model at 1088×1920) —
+        XLA materializes each padded shift of the 500 MB volume. The
+        grouped conv is the better lowering; `_DWParams` keeps the kernel
+        parameter layout stable for checkpoints either way."""
         c = x.shape[-1]
-        return nn.Conv(c, (1, 3, 3), padding=((0, 0), (dilation, dilation),
-                                              (dilation, dilation)),
-                       kernel_dilation=(1, dilation, dilation),
-                       feature_group_count=c, use_bias=False,
-                       dtype=self.dtype, name=name)(x)
+        kern = _DWParams(c, dtype=self.dtype, name=name)()
+        return jax.lax.conv_general_dilated(
+            x.reshape((-1,) + x.shape[2:]),  # fold D into batch: 2D dw conv
+            kern[0].astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((dilation, dilation), (dilation, dilation)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        ).reshape(x.shape)
 
     @nn.compact
     def __call__(self, left: jax.Array, right: jax.Array,

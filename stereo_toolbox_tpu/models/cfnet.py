@@ -274,9 +274,11 @@ class CFNet(nn.Module):
 
         # ---- stage s3 (1/4): sample-based volume ------------------------
         cv_concat_s3 = concat_volume_from_samples(
-            fl["concat_feature3"], fr["concat_feature3"], samples_s3)
+            fl["concat_feature3"], fr["concat_feature3"], samples_s3,
+            max_shift=self.max_disp // 4)
         cv_gwc_s3 = gwc_volume_from_samples(fl["gw3"], fr["gw3"], samples_s3,
-                                            self.num_groups)
+                                            self.num_groups,
+                                            max_shift=self.max_disp // 4)
         conf_s3 = jnp.concatenate(
             [cv_gwc_s3, cv_concat_s3,
              samples_s3[..., None].astype(cv_gwc_s3.dtype)], -1)
@@ -305,9 +307,11 @@ class CFNet(nn.Module):
 
         # ---- stage s2 (1/2) ---------------------------------------------
         cv_concat_s2 = concat_volume_from_samples(
-            fl["concat_feature2"], fr["concat_feature2"], samples_s2)
+            fl["concat_feature2"], fr["concat_feature2"], samples_s2,
+            max_shift=self.max_disp // 2)
         cv_gwc_s2 = gwc_volume_from_samples(fl["gw2"], fr["gw2"], samples_s2,
-                                            self.num_groups // 2)
+                                            self.num_groups // 2,
+                                            max_shift=self.max_disp // 2)
         conf_s2 = jnp.concatenate(
             [cv_gwc_s2, cv_concat_s2,
              samples_s2[..., None].astype(cv_gwc_s2.dtype)], -1)

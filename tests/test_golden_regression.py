@@ -21,13 +21,21 @@ GOLDEN = os.path.join(ROOT, "GOLDEN_METRICS.json")
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN),
                     reason="golden file not generated yet")
-def test_training_reproduces_golden_metrics(tmp_path):
+@pytest.mark.parametrize("model,key", [
+    ("psmnet", "synthetic_sceneflow_protocol_120steps"),
+    ("raft_stereo", "raft_stereo_synthetic_sceneflow_protocol_120steps"),
+    ("igev_stereo", "igev_stereo_synthetic_sceneflow_protocol_120steps"),
+])
+def test_training_reproduces_golden_metrics(tmp_path, model, key):
+    """Three accuracy artifacts under the gate (round-3 verdict item 9):
+    a multihead cost-volume model, a RAFT scan, and an IGEV scan with the
+    full GEV trunk + banded lookups."""
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from train_golden import run
 
     with open(GOLDEN) as f:
         golden = json.load(f)
-    assert "synthetic_sceneflow_protocol_120steps" in golden
+    assert key in golden
 
     # Run against a COPY so a missing key can never silently mutate the
     # committed goldens mid-test (advisor r3); the key is asserted above.
@@ -36,7 +44,7 @@ def test_training_reproduces_golden_metrics(tmp_path):
     shutil.copy(GOLDEN, golden_copy)
 
     # _write_back raises AssertionError on drift > 1e-3 vs the stored values
-    metrics = run(steps=120, write_json=str(golden_copy))
+    metrics = run(steps=120, write_json=str(golden_copy), model_name=model)
     # sanity on the artifact itself: training clearly beat the untrained
     # net (~10.5 px EPE on this synthetic distribution, tools/smoke_tpu.py)
     assert metrics[0] < 7.0

@@ -101,3 +101,34 @@ def test_disparity_variance():
     var = np.asarray(ops.disparity_variance(jnp.asarray(prob),
                                             jnp.asarray(disp)))
     np.testing.assert_allclose(var[0, 0, 0], 4.0)
+
+
+def test_acvnet_depthwise_matches_grouped_conv3d():
+    """ACVNet's 'patch' conv (D folded into batch, 2D grouped conv) equals
+    the reference-equivalent 3D grouped conv, for every dilation."""
+    import jax
+    import flax.linen as nn
+    from stereo_toolbox_tpu.models.acvnet import ACVNet
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 4, 10, 12, 6).astype(np.float32))
+    kern = jnp.asarray(rng.randn(1, 3, 3, 1, 6).astype(np.float32))
+    class _W(nn.Module):
+        dtype = None
+
+        @nn.compact
+        def __call__(self, x, dilation):
+            return ACVNet._depthwise(self, x, dilation, "patch")
+
+    model = _W()
+    for dilation in (1, 2, 3):
+        conv = nn.Conv(6, (1, 3, 3),
+                       padding=((0, 0), (dilation, dilation),
+                                (dilation, dilation)),
+                       kernel_dilation=(1, dilation, dilation),
+                       feature_group_count=6, use_bias=False)
+        want = conv.apply({"params": {"kernel": kern}}, x)
+        got = model.apply({"params": {"patch": {"kernel": kern}}},
+                          x, dilation)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -47,3 +47,26 @@ def test_gwc_pallas_w_tiled():
                                              interpret=True))
     assert got.shape == (1, 48, 2, 256, 4)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_gather_pallas_matches_xla():
+    """One-hot-MXU sample gather (CFNet cascade role) == the XLA gather,
+    including zero-fill left of the image and prev-tile reads."""
+    from stereo_toolbox_tpu.ops.pallas.sample_gather import (
+        gather_right_by_samples_pallas, gwc_volume_from_samples_pallas)
+    rng = np.random.RandomState(4)
+    b, h, w, c = 1, 3, 256, 16
+    right = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    left = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    samples = jnp.asarray(
+        rng.randint(0, 97, (b, 5, h, w)).astype(np.float32))
+
+    want = np.asarray(ops.gather_right_by_samples(right, samples))
+    got = np.asarray(gather_right_by_samples_pallas(right, samples, 96,
+                                                    interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    want_g = np.asarray(ops.gwc_volume_from_samples(left, right, samples, 4))
+    got_g = np.asarray(gwc_volume_from_samples_pallas(left, right, samples,
+                                                      4, 96, interpret=True))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-4)

@@ -58,9 +58,10 @@ def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
         # full train loop (GEV trunk + banded lookups + GRU scan +
         # superpixel upsample) sits under the regression gate
         from stereo_toolbox_tpu.models import IGEVStereo
-        config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
+        # max_disp=64 → D/4=16, even through all three hourglass scales
+        config = TrainConfig(lr=2e-3, max_disp=64, loss="sequence",
                              clip_grad=1.0)
-        model = IGEVStereo(max_disp=48, train_iters=4, valid_iters=4)
+        model = IGEVStereo(max_disp=64, train_iters=4, valid_iters=4)
     else:
         config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
                              clip_grad=1.0)
