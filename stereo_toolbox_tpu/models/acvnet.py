@@ -151,8 +151,13 @@ class ACVNet(nn.Module):
         p2 = self._depthwise(gwc[..., 8:24], 2, "patch_l2")
         p3 = self._depthwise(gwc[..., 24:40], 3, "patch_l3")
         patch_volume = jnp.concatenate([p1, p2, p3], axis=-1)
-        ca = ConvBNAct(32, 3, dtype=self.dtype)(patch_volume, train)
-        ca = ConvBNAct(32, 3, act=None, dtype=self.dtype)(ca, train)
+        # via2d lowering wins for these two stride-1 Co=32 volume convs
+        # (22.5 vs 31 ms standalone at 1088×1920) without the fusion
+        # breakage a global via2d switch causes (BENCH_KERNELS.md)
+        ca = ConvBNAct(32, 3, conv3d_impl="via2d",
+                       dtype=self.dtype)(patch_volume, train)
+        ca = ConvBNAct(32, 3, act=None, conv3d_impl="via2d",
+                       dtype=self.dtype)(ca, train)
         ca = HourglassAttn(32, dtype=self.dtype)(ca, train)
         ca = ConvBNAct(32, 3, dtype=self.dtype)(ca, train)
         att_weights = nn.Conv(1, (3, 3, 3), use_bias=False,
