@@ -188,9 +188,13 @@ class RelativeMHA(nn.Module):
     the TPU build clears the resolutions where the reference's STTR OOMs
     on a 24 GB RTX 4090 (reference README.md:161,190)."""
     num_heads: int = 8
-    # max bytes for one chunk's f32 logits; 4 GB keeps 736×1280 unchunked
-    # (chunking there only serializes) while 1088×1920 still chunks to fit
+    # Two-level logits budget (measured at Table-3 shapes): if the full
+    # [B', E, W, W] f32 logits fit in `attn_budget` bytes, run unchunked
+    # (chunking 736×1280 only serialized: 914→807 ms unchunked); otherwise
+    # chunk rows to `attn_chunk_budget` — LARGE chunks regressed 1088×1920
+    # to 2.7 s vs 2.0 s with ~1 GB chunks.
     attn_budget: int = 4 << 30
+    attn_chunk_budget: int = 1 << 30
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -237,7 +241,8 @@ class RelativeMHA(nn.Module):
             return jnp.einsum("bewv,bvec->bwec", p, vc), raw
 
         b = qh.shape[0]
-        rows = max(1, self.attn_budget // (e * wq * wk * 4))
+        total = b * e * wq * wk * 4
+        rows = b if total <= self.attn_budget else             max(1, self.attn_chunk_budget // (e * wq * wk * 4))
         if rows >= b:
             out, raw = attend((qh, kh, vh))
         else:

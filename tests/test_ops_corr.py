@@ -173,8 +173,9 @@ def test_sttr_chunked_attention_matches_unchunked():
     full = RelativeMHA(num_heads=4)
     vs = full.init(jax.random.PRNGKey(0), q, q, q, pos)
     want = full.apply(vs, q, q, q, pos, return_raw=True)
-    # budget of one row's logits → forces lax.map with a ragged tail
-    chunked = RelativeMHA(num_heads=4, attn_budget=4 * w * w * 4 * 3)
+    # budgets of a few rows' logits → forces lax.map with a ragged tail
+    chunked = RelativeMHA(num_heads=4, attn_budget=4 * w * w * 4 * 3,
+                          attn_chunk_budget=4 * w * w * 4 * 3)
     got = chunked.apply(vs, q, q, q, pos, return_raw=True)
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
