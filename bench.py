@@ -14,12 +14,20 @@ always run `python bench.py` locally after changing a default compute path
 so the cache is warm (round-2 post-mortem: a cold cache timed the driver
 run out).
 
+Regression gate (round-4 verdict #4): after printing the JSON line, the
+latest BENCH_r*.json in the repo root is compared model-by-model; any
+tracked latency more than 3% slower than that record makes the script
+print REGRESSION lines to stderr and exit 2 (the JSON is still emitted
+first, so recording keeps working). Disable with BENCH_GATE=0.
+
 Env: BENCH_MODELS=psmnet,raft_stereo,igev_stereo (subset selection),
-BENCH_BF16=0 for float32.
+BENCH_BF16=0 for float32, BENCH_GATE=0 to skip the regression gate.
 """
 
+import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,6 +37,30 @@ BASELINES_480x640_S = {
     "raft_stereo": 0.1967,
     "igev_stereo": 0.2363,
 }
+
+
+def previous_round_latencies() -> dict:
+    """{model: latency_s} from the highest-numbered BENCH_r*.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return {}
+    try:
+        rec = json.load(open(best[1]))
+    except Exception:
+        return {}
+    out = {}
+    head = rec.get("metric", "")
+    if head.endswith("_480x640_fwd_latency") and "value" in rec:
+        out[head[: -len("_480x640_fwd_latency")]] = rec["value"]
+    for k, v in (rec.get("extra") or {}).items():
+        if isinstance(v, dict) and "latency_s" in v:
+            out[k] = v["latency_s"]
+    return out
 
 
 def main():
@@ -83,6 +115,16 @@ def main():
         "vs_baseline": head["vs_baseline"],
         "extra": {k: v for k, v in results.items() if k != head_name},
     }))
+
+    if os.environ.get("BENCH_GATE", "1") == "1":
+        prev = previous_round_latencies()
+        bad = [f"REGRESSION {k}: {v['latency_s']:.5f}s vs previous round "
+               f"{prev[k]:.5f}s ({v['latency_s'] / prev[k] - 1:+.1%})"
+               for k, v in results.items()
+               if k in prev and v["latency_s"] > prev[k] * 1.03]
+        if bad:
+            print(*bad, sep="\n", file=sys.stderr)
+            sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,7 @@ from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
                                                    IMAGENET_STD,
                                                    MultiBasicEncoder)
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         band_offsets,
+                                         band_d_max, band_offsets,
                                          build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid,
@@ -241,6 +241,8 @@ class IGEVStereo(nn.Module):
     # 'banded' relative corr volumes (default) vs 'reg' full pyramids —
     # bitwise-equal lookups for disp ∈ [-margin, max_disp + margin]
     # (ops/corr.py `build_corr_band_pyramid`)
+    # 'banded' caps corr lookups at max_disp + band_margin; the
+    # reference pyramid is all-pairs — use 'reg' for uncapped parity
     corr_impl: str = "banded"
     band_margin: int = 32  # full-res px of slack around [0, max_disp]
     dtype: jnp.dtype | None = None
@@ -325,12 +327,17 @@ class IGEVStereo(nn.Module):
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
         band_offs = ()
         if self.corr_impl == "banded":
+            # band reach = the model's own max_disp (the GEV's reach) +
+            # margin, clamped to the map width. NOTE: the reference's corr
+            # pyramid is all-pairs — lookups beyond max_disp + band_margin
+            # read zero here; corr_impl='reg' restores uncapped behavior.
+            db = band_d_max(d4, match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
-            band_offs = band_offsets(self.corr_levels, d4,
+            band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
                 match_left.astype(jnp.float32),
-                match_right.astype(jnp.float32), self.corr_levels, d4,
+                match_right.astype(jnp.float32), self.corr_levels, db,
                 self.corr_radius, m4, normalize=False)
         else:
             corr = all_pairs_correlation(match_left.astype(jnp.float32),

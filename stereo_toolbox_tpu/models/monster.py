@@ -36,7 +36,7 @@ from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
 from stereo_toolbox_tpu.nn.igev_blocks import BasicConvBN, BasicConvIN, Conv2x
 from stereo_toolbox_tpu.nn.layers import FeatureAtt
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         band_offsets,
+                                         band_d_max, band_offsets,
                                          build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid)
@@ -469,6 +469,8 @@ class Monster(nn.Module):
     mix_iters: int = 7
     imagenet_norm_input: bool = True
     # disparity-banded relative corr volumes by default (ops/corr.py)
+    # 'banded' caps corr lookups at max_disp + band_margin; the
+    # reference pyramid is all-pairs — use 'reg' for uncapped parity
     corr_impl: str = "banded"
     band_margin: int = 32
     dtype: jnp.dtype | None = None
@@ -586,7 +588,9 @@ class Monster(nn.Module):
         # IGEV-style corr is unnormalized (MonSter/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
-            d4 = self.max_disp // 4
+            # capped at max_disp + margin (the reference's corr pyramid is
+            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
+            d4 = band_d_max(self.max_disp // 4, match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)

@@ -17,6 +17,12 @@ TPU-native re-design of models/RAFTStereo/raft_stereo.py:
 Contract: train → list of `iters` full-res disparity maps (the reference's
 `flow_predictions`); eval → final map only. BatchNorm in cnet is frozen
 (reference freeze_bn, raft_stereo.py:64-70).
+
+Correlation default is `corr_impl='banded'`, which caps lookups at
+``band_max_disp + band_margin`` (224 full-res px by default) — see the
+caveat on the `RAFTStereo.corr_impl` field; the reference's all-pairs
+volume has no cap. `band_max_disp=None` or `corr_impl='reg'` restore
+uncapped behavior for large-disparity scenes.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import jax.numpy as jnp
 from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         band_offsets,
+                                         band_d_max, band_offsets,
                                          build_corr_band_pyramid,
                                          build_corr_pyramid, corr_lookup_1d,
                                          corr_lookup_1d_alt,
@@ -275,13 +281,19 @@ class RAFTStereo(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True  # inputs are ImageNet-normalized
-    # 'banded' = disparity-banded relative volumes (default; bitwise equal
-    # to 'reg' for disp ∈ [-band_margin, band_max_disp + band_margin],
-    # ~7× less lookup work and no [B,H,W,W] volume — ops/corr.py);
-    # 'reg' = full precomputed corr pyramid; 'alt' = memory-light per-chunk
-    # recompute (the reference's corr_implementation, raft_stereo.py:135-144)
+    # 'banded' = disparity-banded relative volumes (default; equal to
+    # 'reg' for disp ∈ [-band_margin, band_max_disp + band_margin],
+    # ~7× less lookup work and no [B,H,W,W] volume — ops/corr.py).
+    # CAVEAT: the reference's all-pairs volume has no such cap — lookups
+    # beyond the band read zero correlation, so scenes with disparities
+    # over band_max_disp+band_margin (e.g. full-res Middlebury close
+    # objects) deviate from imported-checkpoint reference behavior. Set
+    # band_max_disp=None to derive full coverage from the image width at
+    # trace time (exact for every disp >= -band_margin, costs ~'reg'), or use
+    # corr_impl='reg'/'alt' (the reference's corr_implementation,
+    # raft_stereo.py:135-144).
     corr_impl: str = "banded"
-    band_max_disp: int = 192  # full-res px; band covers disp up to this
+    band_max_disp: int | None = 192  # full-res px; None = full coverage
     band_margin: int = 32     # full-res px of slack on both sides
     dtype: jnp.dtype | None = None
 
@@ -320,7 +332,9 @@ class RAFTStereo(nn.Module):
         if self.corr_impl == "alt":
             pyramid = (fmap1, fmap2)  # recomputed per step, never stored
         elif self.corr_impl == "banded":
-            d4 = max(self.band_max_disp // factor, 1)
+            d4 = band_d_max(
+                None if self.band_max_disp is None
+                else max(self.band_max_disp // factor, 1), fmap1.shape[2])
             m4 = max(self.band_margin // factor, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)

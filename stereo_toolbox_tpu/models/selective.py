@@ -38,7 +38,7 @@ from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
 from stereo_toolbox_tpu.models.igev_stereo import (GEVHourglass,
                                                    combined_geo_lookup)
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         band_offsets,
+                                         band_d_max, band_offsets,
                                          build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid,
@@ -250,9 +250,15 @@ class SelectiveRAFT(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     imagenet_norm_input: bool = True
-    # disparity-banded relative corr volumes by default (ops/corr.py)
+    # disparity-banded relative corr volumes by default (ops/corr.py).
+    # CAVEAT: lookups beyond band_max_disp + band_margin (224 full-res px
+    # by default) read zero correlation where the reference's all-pairs
+    # volume would not — large-disparity scenes deviate from imported-
+    # checkpoint behavior. band_max_disp=None derives full coverage from
+    # the image width (exact everywhere); corr_impl='reg' matches the
+    # reference's uncapped pyramid.
     corr_impl: str = "banded"
-    band_max_disp: int = 192
+    band_max_disp: int | None = 192
     band_margin: int = 32
     dtype: jnp.dtype | None = None
 
@@ -279,7 +285,9 @@ class SelectiveRAFT(nn.Module):
 
         band_offs = ()
         if self.corr_impl == "banded":
-            d4 = max(self.band_max_disp // factor, 1)
+            d4 = band_d_max(
+                None if self.band_max_disp is None
+                else max(self.band_max_disp // factor, 1), fmap1.shape[2])
             m4 = max(self.band_margin // factor, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)
@@ -372,6 +380,8 @@ class SelectiveIGEV(nn.Module):
     valid_iters: int = 32
     imagenet_norm_input: bool = True
     # disparity-banded relative corr volumes by default (ops/corr.py)
+    # 'banded' caps corr lookups at max_disp + band_margin; the
+    # reference pyramid is all-pairs — use 'reg' for uncapped parity
     corr_impl: str = "banded"
     band_margin: int = 32
     dtype: jnp.dtype | None = None
@@ -442,12 +452,15 @@ class SelectiveIGEV(nn.Module):
         # IGEV-style corr is unnormalized (SelectiveIGEV/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
+            # capped at max_disp + margin (the reference's corr pyramid is
+            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
+            db = band_d_max(d4, match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
-            band_offs = band_offsets(self.corr_levels, d4,
+            band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
                 match_left.astype(jnp.float32),
-                match_right.astype(jnp.float32), self.corr_levels, d4,
+                match_right.astype(jnp.float32), self.corr_levels, db,
                 self.corr_radius, m4, normalize=False)
         else:
             corr = all_pairs_correlation(match_left.astype(jnp.float32),

@@ -156,6 +156,25 @@ def _shift_w(a: jax.Array, k: int) -> jax.Array:
     return jnp.pad(a[:, :, :w + k], ((0, 0), (0, 0), (-k, 0), (0, 0)))
 
 
+def band_d_max(d_max: int | None, width: int) -> int:
+    """Trace-time effective reach of the banded correlation volumes.
+
+    ``None`` derives full positive-disparity coverage from the feature-map
+    width: with ``d_max = width`` the band answers every lookup the
+    zero-padded all-pairs path could answer with a non-zero value for
+    ``disp >= -margin``, so the 'banded' output equals 'reg' for every
+    disparity a stereo model can produce (beyond ``width + margin`` both
+    paths read exact zeros — the sample position falls left of the image;
+    only ``disp < -margin``, a physically impossible rightward match
+    beyond the rectification slack, remains clamped). An int caps the
+    band at ``d_max`` (+margin slack): cheaper, but out-of-band lookups
+    return zero correlation where the reference's all-pairs volume would
+    not. The cap is clamped to ``width`` because coverage beyond the
+    image width adds only all-zero columns.
+    """
+    return width if d_max is None else min(d_max, width)
+
+
 def band_offsets(num_levels: int, d_max: int, radius: int = 4,
                  margin: int = 8) -> tuple[tuple[int, int], ...]:
     """Static per-level (lo, hi) integer offset bounds for the banded
@@ -197,12 +216,17 @@ def build_corr_band_pyramid(fmap1: jax.Array, fmap2: jax.Array,
     where ``f2_i`` is fmap2 iteratively 2×-avg-pooled along W (pooling the
     *features* commutes with pooling the correlation — corr is linear in
     f2, so this equals `build_corr_pyramid(all_pairs_correlation(...))[i]`
-    restricted to the band, bitwise). Out-of-image offsets are zero, exactly
-    like the zero-padded absolute lookup.
+    restricted to the band, numerically equal up to float reassociation:
+    pooling features before the dot product re-associates the sum the
+    full-volume path performs after it). Out-of-image offsets are zero,
+    exactly like the zero-padded absolute lookup.
 
-    Exact-equality domain: lookups at positions ``(x0 - disp)/2^i + dx``
-    match the full-volume path bitwise whenever
+    Equality domain: lookups at positions ``(x0 - disp)/2^i + dx`` match
+    the full-volume path (up to the reassociation above; bitwise at level
+    0, where no pooling is involved) whenever
     ``-margin <= disp <= d_max + margin`` (tests/test_ops_corr.py).
+    `band_d_max` documents how models pick ``d_max`` and how ``None``
+    recovers full all-pairs coverage.
 
     Returns:
       tuple of ``[B, H, W1, N_i]`` bands; `band_offsets` gives each level's

@@ -108,8 +108,12 @@ def gather_right_by_samples_pallas(right: jax.Array, samples: jax.Array,
     """``[B, S, H, W, C]`` = right gathered at integer disparity samples.
 
     Requires ``0 ≤ samples ≤ max_shift`` wherever the source is in-image
-    (guaranteed by CFNet's clamped search ranges, cfnet.py:437-447).
+    (guaranteed by CFNet's clamped search ranges, cfnet.py:437-447). The
+    wrapper enforces the contract by clamping — a contract-violating
+    sample reads the value at the clamped shift instead of silently
+    reading the wrong one-hot tile.
     """
+    samples = jnp.clip(samples, 0, max_shift)
     b, h, w, c = right.shape
     s = samples.shape[1]
     wt, w2 = _tile_and_pad(w, max_shift)
@@ -134,7 +138,9 @@ def gwc_volume_from_samples_pallas(left: jax.Array, right: jax.Array,
                                    max_shift: int,
                                    interpret: bool = False) -> jax.Array:
     """``[B, S, H, W, G]`` group-wise correlation at sampled disparities,
-    with the gathered features reduced in-VMEM (never written to HBM)."""
+    with the gathered features reduced in-VMEM (never written to HBM).
+    Samples are clamped to ``[0, max_shift]`` (the kernel's contract)."""
+    samples = jnp.clip(samples, 0, max_shift)
     b, h, w, c = right.shape
     s = samples.shape[1]
     wt, w2 = _tile_and_pad(w, max_shift)

@@ -132,6 +132,32 @@ def test_banded_corr_matches_full_pyramid():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_banded_full_width_matches_reg_for_any_disp():
+    """band_d_max(None, width) coverage == the 'reg' path for every
+    disparity >= -margin, including ones far past the image width (both
+    paths read exact zeros left of the image)."""
+    rng = np.random.RandomState(7)
+    b, h, w, c = 1, 2, 24, 8
+    radius, margin, levels = 4, 2, 3
+    d_max = corr_ops.band_d_max(None, w)
+    assert d_max == w
+    f1 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    # disparities from the rectification slack to way past the image width
+    disp = jnp.asarray(
+        rng.uniform(-margin, 2 * w, (b, h, w)).astype(np.float32))
+    x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w)) - disp
+    full = corr_ops.corr_lookup_1d(
+        corr_ops.build_corr_pyramid(
+            corr_ops.all_pairs_correlation(f1, f2), levels), x, radius)
+    offs = corr_ops.band_offsets(levels, d_max, radius, margin)
+    bands = corr_ops.build_corr_band_pyramid(f1, f2, levels, d_max, radius,
+                                             margin)
+    got = corr_ops.corr_lookup_1d_banded(bands, x, offs, radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_banded_corr_out_of_band_is_zero():
     """Out-of-domain disparities read zeros (documented clamp semantics)."""
     b, h, w, c = 1, 2, 40, 8

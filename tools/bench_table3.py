@@ -11,11 +11,20 @@ backend (peak = 0), so we report XLA's compile-time memory analysis
 (`compiled.memory_analysis()`: argument + output + temp + generated-code
 bytes) — the allocation the runtime actually reserves for the executable.
 
+All measured cells persist in SPEED.json; every run merges its new cells
+into that store and regenerates SPEED.md from it ATOMICALLY as one table
+in canonical model order (a partial run never strands rows outside the
+table — round-4 verdict weak #3). Regression gate: a remeasured cell
+>3% slower than its stored value prints a loud REGRESSION line and the
+script exits 2 (disable with SPEED_GATE=0; the new value is still
+recorded).
+
 Usage: python tools/bench_table3.py [--models psmnet,...] [--res 1088x1920]
 """
 
 import argparse
 import datetime
+import json
 import os
 import sys
 
@@ -84,7 +93,8 @@ def main():
                     help="single HxW to bench instead of all three")
     ap.add_argument("--out", default=None)
     ap.add_argument("--append", action="store_true",
-                    help="merge into existing SPEED.md rows")
+                    help="deprecated no-op: merging into SPEED.json and "
+                         "regenerating the full table is now the default")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +124,7 @@ def main():
 
     rows = []
     params_m = {}
-    for name in args.models.split(","):
+    for name in [n for n in args.models.split(",") if n]:
         model = create_model(REGISTRY_NAME[name], dtype=dtype,
                              **KW.get(name, {}))
         for res in resolutions:
@@ -150,53 +160,84 @@ def main():
                   flush=True)
             del variables, compiled
 
-    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SPEED.md")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = args.out or os.path.join(root, "SPEED.md")
+    store_path = os.path.join(root, "SPEED.json")
+
+    # ---- merge new cells into the persistent store + regression gate ----
+    store = {"cells": {}, "params_m": {}}
+    if os.path.exists(store_path):
+        store = json.load(open(store_path))
+    regressions = []
+    for name, res, dt, mb, err in rows:
+        key = f"{name}@{res[0]}x{res[1]}"
+        prev = store["cells"].get(key)
+        if dt is not None and prev and prev.get("s") \
+                and dt > prev["s"] * 1.03:
+            regressions.append(
+                f"REGRESSION {key}: {dt:.4f}s vs stored {prev['s']:.4f}s "
+                f"({dt / prev['s'] - 1:+.1%})")
+        store["cells"][key] = {"s": dt, "mb": mb, "err": err,
+                               "date": str(datetime.date.today())}
+    store["params_m"].update({k: round(v, 2) for k, v in params_m.items()})
+    with open(store_path, "w") as f:
+        json.dump(store, f, indent=1, sort_keys=True)
+
+    # ---- regenerate SPEED.md atomically from the full store -------------
     header = [
         "# SPEED — Table 3 protocol on one TPU v5e chip",
         "",
-        f"Generated by `tools/bench_table3.py` on {datetime.date.today()}.",
+        f"Generated by `tools/bench_table3.py` (last merge "
+        f"{datetime.date.today()}; per-cell dates in SPEED.json).",
         "Eval forward, batch 1, bf16 compute, iterative models at their",
         "32 eval iterations (reference raft_stereo.py:39-40); slope-timed",
         "(`utils/timing.bench_fn`). TPU MB = XLA compile-time memory",
-        "analysis (arguments+outputs+temps) — the tunneled backend reports",
-        "no runtime peak stats. GPU columns: RTX 4090 (24 GB) from the",
-        "reference's README.md:182-202 (BASELINE.md Table 3); 'OOM' rows",
-        "are resolutions the reference cannot run at all.",
+        "analysis (arguments+outputs+temps) — a compile-time ESTIMATE, not",
+        "a measured runtime peak (the tunneled backend reports no runtime",
+        "stats), so TPU-vs-GPU MB comparisons are indicative only: the",
+        "4090 column IS a runtime peak (torch.cuda.max_memory_allocated).",
+        "GPU columns: RTX 4090 (24 GB) from the reference's",
+        "README.md:182-202 (BASELINE.md Table 3); 'OOM' rows are",
+        "resolutions the reference cannot run at all.",
         "",
-        "| model | resolution | TPU v5e (s) | TPU MB | RTX 4090 (s) | "
-        "4090 MB | speedup |",
+        "| model | resolution | TPU v5e (s) | TPU MB (est) | RTX 4090 (s) "
+        "| 4090 MB | speedup |",
         "|---|---|---|---|---|---|---|",
     ]
     lines = []
-    for name, res, dt, mb, err in rows:
-        gi = RESOLUTIONS.index(res)
-        gpu_s, gpu_mb = GPU[name][gi]
-        gs = f"{gpu_s:.4f}" if gpu_s else "OOM"
-        gm = f"{gpu_mb:.0f}" if gpu_mb else "OOM"
-        if dt is None:
-            lines.append(f"| {name} | {res[0]}×{res[1]} | FAILED ({err}) "
-                         f"| — | {gs} | {gm} | — |")
-        else:
+    n_cells = n_win = 0
+    for name in GPU:  # canonical order → one sorted table, every run
+        for gi, res in enumerate(RESOLUTIONS):
+            cell = store["cells"].get(f"{name}@{res[0]}x{res[1]}")
+            if cell is None:
+                continue
+            gpu_s, gpu_mb = GPU[name][gi]
+            gs = f"{gpu_s:.4f}" if gpu_s else "OOM"
+            gm = f"{gpu_mb:.0f}" if gpu_mb else "OOM"
+            dt, mb = cell.get("s"), cell.get("mb")
+            if dt is None:
+                lines.append(f"| {name} | {res[0]}×{res[1]} | FAILED "
+                             f"({cell.get('err')}) | — | {gs} | {gm} | — |")
+                continue
             ms = f"{mb:.0f}" if mb else "n/a"
             sp = f"{gpu_s / dt:.2f}×" if gpu_s else "∞ (GPU OOM)"
+            n_cells += 1
+            n_win += 1 if (not gpu_s or gpu_s / dt >= 0.995) else 0
             lines.append(f"| {name} | {res[0]}×{res[1]} | {dt:.4f} | {ms} "
                          f"| {gs} | {gm} | {sp} |")
-
-    if args.append and os.path.exists(out):
-        old = open(out).read().splitlines()
-        new_keys = {tuple(ln.split("|")[1:3]) for ln in lines}
-        keep = [ln for ln in old
-                if not (ln.startswith("|")
-                        and tuple(ln.split("|")[1:3]) in new_keys)]
-        text = "\n".join(keep + lines) + "\n"
-    else:
-        params_line = ["", "Params (M): " + ", ".join(
-            f"{k}={v:.2f}" for k, v in params_m.items()), ""]
-        text = "\n".join(header + lines + params_line)
+    footer = ["",
+              f"{n_win} of {n_cells} measured cells meet or beat the 4090.",
+              "",
+              "Params (M), eval-path init: " + ", ".join(
+                  f"{k}={v:.2f}" for k, v in store["params_m"].items()), ""]
     with open(out, "w") as f:
-        f.write(text)
-    print(f"wrote {out}")
+        f.write("\n".join(header + lines + footer))
+    print(f"wrote {out} ({n_cells} cells)")
+
+    if regressions and os.environ.get("SPEED_GATE", "1") == "1":
+        for r in regressions:
+            print(r, file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":
