@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.models.gwcnet import GwcFeature
-from stereo_toolbox_tpu.nn.layers import ConvBNAct, ConvTransposeBN
+from stereo_toolbox_tpu.nn.layers import Conv3dFlex, ConvBNAct, \
+    ConvTransposeBN
 
 
 class BlockAttention3D(nn.Module):
@@ -42,29 +43,34 @@ class BlockAttention3D(nn.Module):
         _, D, H, W, _ = x.shape
         d, h, w = D // bd, H // bh, W // bw
 
-        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, d, bd, h, bh, w, bw, 3, self.num_heads,
-                          C // self.num_heads)
-        # [3, B, d*h*w, heads, bd*bh*bw, hd]
-        qkv = qkv.transpose(7, 0, 1, 3, 5, 8, 2, 4, 6, 9).reshape(
-            3, B, d * h * w, self.num_heads, bd * bh * bw,
-            C // self.num_heads)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        scale = (C // self.num_heads) ** -0.5
-        attn = jnp.einsum("bnhqc,bnhkc->bnhqk", q, k,
+        # Pre-blocked layout (round 5): transpose the INPUT into
+        # [B, d, h, w, 64, C] block-token form BEFORE the qkv Dense, so the
+        # only big transposes move 25 MB instead of the 75 MB fused-qkv
+        # tensor. Measured 11.6 → ~7 ms per call at 1088×1920
+        # (tools/opt_acvnet.py attn_parts). A dot_general variant keeping
+        # the (4,4,4) block axes as free dims OOM'd the chip — XLA pads
+        # tiny trailing dims to full (8,128) tiles (~60× on the logits).
+        hd = C // self.num_heads
+        xb = x.reshape(B, d, bd, h, bh, w, bw, C).transpose(
+            0, 1, 3, 5, 2, 4, 6, 7).reshape(B, d, h, w, bd * bh * bw, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(xb)
+        qkv = qkv.reshape(B, d, h, w, bd * bh * bw, 3, self.num_heads, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        scale = hd ** -0.5
+        attn = jnp.einsum("bdhwqnc,bdhwknc->bdhwnqk", q, k,
                           preferred_element_type=jnp.float32) * scale
 
         if pd or ph or pw:
             valid = jnp.zeros((D, H, W), bool).at[:D0, :H0, :W0].set(True)
             valid = valid.reshape(d, bd, h, bh, w, bw).transpose(
-                0, 2, 4, 1, 3, 5).reshape(d * h * w, bd * bh * bw)
-            attn = jnp.where(valid[None, :, None, None, :], attn, -1000.0)
+                0, 2, 4, 1, 3, 5).reshape(d, h, w, bd * bh * bw)
+            attn = jnp.where(
+                valid[None, :, :, :, None, None, :], attn, -1000.0)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bnhqk,bnhkc->bnhqc", attn, v)
-        out = out.reshape(B, d, h, w, self.num_heads, bd, bh, bw,
-                          C // self.num_heads)
-        out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8).reshape(B, D, H, W, C)
+        out = jnp.einsum("bdhwnqk,bdhwknc->bdhwqnc", attn, v)
+        out = out.reshape(B, d, h, w, bd, bh, bw, C).transpose(
+            0, 1, 4, 2, 5, 3, 6, 7).reshape(B, D, H, W, C)
         out = out[:, :D0, :H0, :W0]
         return nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="proj")(out)
 
@@ -77,10 +83,14 @@ class HourglassAttn(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
+        # stride-1 inner convs: via2d A/B'd end-to-end via STTPU_ACV_HG
+        hg_impl = __import__("os").environ.get("STTPU_ACV_HG", "auto")
         c1 = ConvBNAct(f * 2, 3, 2, dtype=self.dtype)(x, train)
-        c2 = ConvBNAct(f * 2, 3, 1, dtype=self.dtype)(c1, train)
+        c2 = ConvBNAct(f * 2, 3, 1, conv3d_impl=hg_impl,
+                       dtype=self.dtype)(c1, train)
         c3 = ConvBNAct(f * 4, 3, 2, dtype=self.dtype)(c2, train)
-        c4 = ConvBNAct(f * 4, 3, 1, dtype=self.dtype)(c3, train)
+        c4 = ConvBNAct(f * 4, 3, 1, conv3d_impl=hg_impl,
+                       dtype=self.dtype)(c3, train)
         c4 = BlockAttention3D(num_heads=16, dtype=self.dtype)(c4)
         up5 = ConvTransposeBN(f * 2, 3, 2, dtype=self.dtype)(c4, train)
         r2 = ConvBNAct(f * 2, 1, padding=0, act=None,
@@ -141,8 +151,9 @@ class ACVNet(nn.Module):
         d4 = self.max_disp // 4
         feat = GwcFeature(concat_feature=False, dtype=self.dtype,
                           name="feature_extraction")
-        fl = feat(left, train)["gwc_feature"]
-        fr = feat(right, train)["gwc_feature"]
+        from stereo_toolbox_tpu.nn.layers import dual_view_apply
+        fl, fr = dual_view_apply(lambda x, t: feat(x, t)["gwc_feature"],
+                                 left, right, train)
 
         # ---- attention-weights branch ---------------------------------
         gwc = ops.build_gwc_volume(fl, fr, d4, self.num_groups)
@@ -160,12 +171,25 @@ class ACVNet(nn.Module):
                        dtype=self.dtype)(ca, train)
         ca = HourglassAttn(32, dtype=self.dtype)(ca, train)
         ca = ConvBNAct(32, 3, dtype=self.dtype)(ca, train)
-        att_weights = nn.Conv(1, (3, 3, 3), use_bias=False,
-                              dtype=self.dtype)(ca)  # [B, D, H/4, W/4, 1]
+        # Conv3dFlex keeps nn.Conv's param layout ("Conv_0", lecun init)
+        # while letting the lowering be A/B'd: via2d won 4.4× standalone on
+        # this Co=1 shape but regressed end-to-end (fusion breakage) —
+        # STTPU_ACV_CLS switches it for measurement.
+        cls_impl = __import__("os").environ.get("STTPU_ACV_CLS", "native")
+        att_weights = Conv3dFlex(
+            1, (3, 3, 3), use_bias=False, impl=cls_impl,
+            kernel_init=nn.initializers.lecun_normal(), dtype=self.dtype,
+            name="Conv_0")(ca)  # [B, D, H/4, W/4, 1]
         if self.freeze_attn_weights:
             att_weights = jax.lax.stop_gradient(att_weights)
 
         def regress(cost_low):
+            from stereo_toolbox_tpu.ops import upsample as _ups
+            if not train and _ups.FUSED_EVAL_HEAD:
+                # fused trilinear-upsample→softmax→soft-argmax: the
+                # D-expanded full-res f32 volume never exists (ops/upsample)
+                return ops.softargmax_trilinear(cost_low[..., 0],
+                                                self.max_disp, H, W)
             c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
                                 (1, 2, 3), align_corners=False)
             prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)
@@ -186,11 +210,19 @@ class ACVNet(nn.Module):
         # softmax over the disparity axis (acv.py:196, dim=2 in NCDHW)
         ac_volume = jax.nn.softmax(att_weights, axis=1) * concat_volume
 
-        c = ConvBNAct(32, 3, dtype=self.dtype)(ac_volume, train)
-        c = ConvBNAct(32, 3, dtype=self.dtype)(c, train)
+        # via2d on these four stride-1 volume convs measured 423.7→410.3 ms
+        # end-to-end at 1088×1920 (round 5); extending it to the classifier
+        # convs (449.6) or the hourglass inner convs (466.7) REGRESSED.
+        main_impl = __import__("os").environ.get("STTPU_ACV_MAIN", "via2d")
+        c = ConvBNAct(32, 3, conv3d_impl=main_impl,
+                      dtype=self.dtype)(ac_volume, train)
+        c = ConvBNAct(32, 3, conv3d_impl=main_impl, dtype=self.dtype)(c,
+                                                                      train)
         cost0 = c
-        c = ConvBNAct(32, 3, dtype=self.dtype)(cost0, train)
-        c = ConvBNAct(32, 3, act=None, dtype=self.dtype)(c, train)
+        c = ConvBNAct(32, 3, conv3d_impl=main_impl,
+                      dtype=self.dtype)(cost0, train)
+        c = ConvBNAct(32, 3, act=None, conv3d_impl=main_impl,
+                      dtype=self.dtype)(c, train)
         cost0 = c + cost0
         out1 = HourglassAttn(32, dtype=self.dtype)(cost0, train)
         out2 = HourglassAttn(32, dtype=self.dtype)(out1, train)
@@ -198,8 +230,9 @@ class ACVNet(nn.Module):
         def classify(x, name):
             x = ConvBNAct(32, 3, dtype=self.dtype,
                           name=f"{name}_conv")(x, train)
-            return nn.Conv(1, (3, 3, 3), use_bias=False, dtype=self.dtype,
-                           name=f"{name}_out")(x)
+            return Conv3dFlex(1, (3, 3, 3), use_bias=False, impl=cls_impl,
+                              kernel_init=nn.initializers.lecun_normal(),
+                              dtype=self.dtype, name=f"{name}_out")(x)
 
         pred2 = regress(classify(out2, "classif2"))
         if not train:

@@ -202,8 +202,8 @@ class CFNet(nn.Module):
         dt = self.dtype
         feat = CFFeature(self.concat_channels, dtype=dt,
                          name="feature_extraction")
-        fl = feat(left, train)
-        fr = feat(right, train)
+        from stereo_toolbox_tpu.nn.layers import dual_view_apply
+        fl, fr = dual_view_apply(feat, left, right, train)
 
         def fused_volume(scale, d):
             gwc = ops.build_gwc_volume(fl[f"gw{scale}"], fr[f"gw{scale}"],

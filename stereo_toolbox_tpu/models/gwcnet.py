@@ -90,8 +90,8 @@ class GwcNet(nn.Module):
         B, H, W, _ = left.shape
         feat = GwcFeature(self.use_concat_volume, self.concat_channels,
                           dtype=self.dtype, name="feature_extraction")
-        fl = feat(left, train)
-        fr = feat(right, train)
+        from stereo_toolbox_tpu.nn.layers import dual_view_apply
+        fl, fr = dual_view_apply(feat, left, right, train)
 
         d4 = self.max_disp // 4
         volume = ops.build_gwc_volume(fl["gwc_feature"], fr["gwc_feature"],
@@ -119,6 +119,12 @@ class GwcNet(nn.Module):
                            name=f"{name}_out")(x)
 
         def regress(cost_low):
+            from stereo_toolbox_tpu.ops import upsample as _ups
+            if not train and _ups.FUSED_EVAL_HEAD:
+                # fused upsample→softmax→soft-argmax: the D-expanded
+                # full-res f32 volume is never materialized (ops/upsample)
+                return ops.softargmax_trilinear(cost_low[..., 0],
+                                                self.max_disp, H, W)
             c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
                                 (1, 2, 3), align_corners=False)
             prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)

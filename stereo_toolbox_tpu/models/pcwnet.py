@@ -204,8 +204,8 @@ class PCWNet(nn.Module):
         dt = self.dtype
         feat = PCWFeature(self.concat_channels, dtype=dt,
                           name="feature_extraction")
-        fl = feat(left, train)
-        fr = feat(right, train)
+        from stereo_toolbox_tpu.nn.layers import dual_view_apply
+        fl, fr = dual_view_apply(feat, left, right, train)
 
         def volume(scale, d):
             v = ops.build_gwc_volume(fl[f"gw{scale}"], fr[f"gw{scale}"], d,

@@ -100,8 +100,8 @@ class PSMNet(nn.Module):
                  train: bool = False):
         B, H, W, _ = left.shape
         feat = SPPFeature(dtype=self.dtype, name="feature_extraction")
-        ref_f = feat(left, train)
-        tgt_f = feat(right, train)
+        from stereo_toolbox_tpu.nn.layers import dual_view_apply
+        ref_f, tgt_f = dual_view_apply(feat, left, right, train)
 
         # dres0 / dres1 + residual (stackhourglass.py:122-123). The concat
         # volume (stackhourglass.py:111-120) is never materialized: its only
@@ -137,6 +137,11 @@ class PSMNet(nn.Module):
         def regress(cost_low):
             # [B, D/4, H/4, W/4, 1] -> full-res soft-argmax (upsample in the
             # compute dtype; softmax in fp32)
+            from stereo_toolbox_tpu.ops import upsample as _ups
+            if not train and _ups.FUSED_EVAL_HEAD:
+                # fused eval head — no materialized D-expanded volume
+                return ops.softargmax_trilinear(cost_low[..., 0],
+                                                self.max_disp, H, W)
             c = ops.interpolate(cost_low[..., 0], (self.max_disp, H, W),
                                 (1, 2, 3), align_corners=False)
             prob = jax.nn.softmax(c.astype(jnp.float32), axis=1)

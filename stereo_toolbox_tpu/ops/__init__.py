@@ -9,6 +9,7 @@ from stereo_toolbox_tpu.ops.volume import (
     shifted_right_stack,
     build_concat_volume,
     build_gwc_volume,
+    build_gwc_volume_cosine,
     build_norm_correlation_volume,
     build_correlation_volume,
     groupwise_correlation,
@@ -43,6 +44,8 @@ from stereo_toolbox_tpu.ops.dcn import (
     bilinear_gather_2d,
 )
 from stereo_toolbox_tpu.ops.upsample import (
+    interpolate_bicubic,
+    softargmax_trilinear,
     interpolate,
     resize_nearest,
     upsample_disp_bilinear,
@@ -59,6 +62,7 @@ from stereo_toolbox_tpu.ops.volume import (
 __all__ = [
     "shifted_right_stack",
     "build_concat_volume",
+    "build_gwc_volume_cosine",
     "build_gwc_volume",
     "build_norm_correlation_volume",
     "build_correlation_volume",
@@ -85,6 +89,8 @@ __all__ = [
     "deform_conv2d",
     "bilinear_gather_2d",
     "interpolate",
+    "interpolate_bicubic",
+    "softargmax_trilinear",
     "upsample_disp_bilinear",
     "convex_upsample",
     "context_upsample",

@@ -127,6 +127,34 @@ def build_gwc_volume(left: jax.Array, right: jax.Array, max_disp: int,
     return groupwise_correlation(left[:, None], right_s, num_groups)
 
 
+def group_l2_normalize(x: jax.Array, num_groups: int,
+                       eps: float = 1e-12) -> jax.Array:
+    """Per-pixel L2 normalization within each channel group
+    (torch F.normalize(dim=group-channels) semantics: the norm is clamped
+    to `eps`, not offset by it)."""
+    c = x.shape[-1]
+    g = x.reshape(x.shape[:-1] + (num_groups, c // num_groups))
+    n = jnp.sqrt((g.astype(jnp.float32) ** 2).sum(-1, keepdims=True))
+    g = g / jnp.maximum(n, eps).astype(g.dtype)
+    return g.reshape(x.shape)
+
+
+def build_gwc_volume_cosine(left: jax.Array, right: jax.Array,
+                            max_disp: int, num_groups: int) -> jax.Array:
+    """Group-wise COSINE correlation volume — FoundationStereo's variant
+    (FoundationStereo/submodule.py:388-414): each group's channels are
+    L2-normalized per pixel before the dot product (sum, not mean).
+    Normalizing the features first commutes with the shift/stack, so the
+    standard builder (including its Pallas path) does the heavy part.
+
+    Returns ``[B, D, H, W, G]``.
+    """
+    cpg = left.shape[-1] // num_groups
+    nl = group_l2_normalize(left, num_groups)
+    nr = group_l2_normalize(right, num_groups)
+    return build_gwc_volume(nl, nr, max_disp, num_groups) * float(cpg)
+
+
 def build_norm_correlation_volume(left: jax.Array, right: jax.Array,
                                   max_disp: int,
                                   eps: float = 1e-5) -> jax.Array:

@@ -82,3 +82,40 @@ def test_upsample_disp_bilinear_scales_values():
     up = np.asarray(upsample.upsample_disp_bilinear(disp, 4))
     assert up.shape == (1, 16, 16)
     np.testing.assert_allclose(up, 4.0, rtol=1e-6)
+
+
+def test_softargmax_trilinear_matches_naive_chain():
+    """Fused upsample→softmax→soft-argmax == the materialized chain
+    (the eval head of every cost-volume family)."""
+    import jax
+    import jax.numpy as jnp
+    from stereo_toolbox_tpu import ops
+
+    rng = np.random.RandomState(3)
+    cost = jnp.asarray(rng.randn(2, 12, 9, 13).astype(np.float32) * 3)
+    D, H, W = 48, 36, 52
+    naive_c = ops.interpolate(cost, (D, H, W), (1, 2, 3),
+                              align_corners=False)
+    prob = jax.nn.softmax(naive_c, axis=1)
+    naive = ops.disparity_regression(prob, D)
+    fused = ops.softargmax_trilinear(cost, D, H, W)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_bicubic_matches_torch():
+    """interpolate_bicubic == torch F.interpolate(mode='bicubic',
+    align_corners=False), incl. the A=-0.75 kernel and border clamping."""
+    from stereo_toolbox_tpu import ops
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(2, 3, 20, 31).astype(np.float32)
+    for hw in [(37, 53), (10, 16), (20, 31)]:
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), hw, mode="bicubic",
+            align_corners=False).numpy()
+        got = ops.interpolate_bicubic(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), hw, (1, 2))
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want,
+            rtol=1e-4, atol=1e-4)
