@@ -213,6 +213,7 @@ class DPTHead(nn.Module):
     """dpt.py:38-163."""
     features: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    out_align_corners: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -272,14 +273,20 @@ class DPTHead(nn.Module):
 
         out = nn.Conv(self.features // 2, (3, 3), padding="SAME", dtype=dt,
                       name="output_conv1")(p1_std)
+        # StereoAnywhere's vendored head resizes with align_corners=False
+        # (StereoAnywhere/depth_anything_v2/dpt.py:148); every other copy
+        # in the reference tree uses True
         out = interpolate(out, (ph * PATCH, pw * PATCH), (1, 2),
-                          align_corners=True)
+                          align_corners=self.out_align_corners)
         h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
                             name="output_conv2a")(out))
         depth = nn.relu(nn.Conv(1, (1, 1), dtype=dt,
                                 name="output_conv2b")(h))
         if return_path1:
-            return depth[..., 0], {"path_1": p1_std,
+            # "out" = output_conv1(path_1) at patch resolution — the
+            # features//2-channel side feature FoundationStereo consumes
+            # (FoundationStereo/depth_anything/dpt.py:132-141)
+            return depth[..., 0], {"path_1": p1_std, "out": out,
                                    "paths": [p4, p3, p2, p1]}
         return depth[..., 0]
 
@@ -289,6 +296,9 @@ class DepthAnythingV2(nn.Module):
     (reference models/__init__.py:11)."""
     encoder: str = "vits"
     features: int | None = None  # None → per-encoder default (64/128/256)
+    # StereoAnywhere's vendored copy resizes the pre-head feature with
+    # align_corners=False (its dpt.py:148); all other copies use True
+    out_align_corners: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -301,8 +311,9 @@ class DepthAnythingV2(nn.Module):
         ph, pw = x.shape[1] // PATCH, x.shape[2] // PATCH
         taps = DINOv2(self.encoder, dtype=self.dtype, name="pretrained")(
             x, cfg["taps"])
-        head = DPTHead(features, cfg["out_channels"], dtype=self.dtype,
-                       name="depth_head")
+        head = DPTHead(features, cfg["out_channels"],
+                       out_align_corners=self.out_align_corners,
+                       dtype=self.dtype, name="depth_head")
         if return_features:
             depth, feats = head(taps, ph, pw, return_path1=True)
             feats["taps"] = taps

@@ -1,30 +1,45 @@
-"""FoundationStereo (CVPR'25) — hybrid CNN + ViT features, attentive cost
-volume, selective recurrent refinement.
+"""FoundationStereo (CVPR'25) — hybrid EdgeNeXt-small CNN + frozen
+DepthAnything(DINOv2) features, attentive cost volume, selective recurrent
+refinement.
 
-TPU-native re-design of models/FoundationStereo/foundation_stereo.py:
-  * Feature: EdgeNeXt-small-style conv trunk (channels 48/96/160/304 at
-    1/4..1/32; the timm backbone is approximated with ConvNeXt-style blocks
-    since pretrained weights are unavailable offline) + a frozen
-    DepthAnythingV2 side network whose features are resized to 1/4 and fused
-    (extractor.py:321-369);
-  * 8-group gwc + projected concat combined volume (foundation_stereo.py:
-    243-248) → corr stem → FeatureAtt → hourglass whose convolutions are
-    "reduced" separable 3D convs (spatial 3×3 + long 17-tap disparity conv,
-    `Conv3dNormActReduced`) and whose bottom carries a disparity-axis
-    transformer on a 4×-pooled volume (`CostVolumeDisparityAttention`,
-    submodule.py:506-530 — `jax.nn.dot_product_attention` replaces
-    flash-attn);
-  * GEV + all-pairs lookup with CAM/SAM selective GRU updates
-    (foundation_stereo.py:262-264, shared with SelectiveIGEV);
-  * `run_hierarchical`: coarse pass at `small_ratio` seeds the full-res
-    init disparity (foundation_stereo.py:295-311).
+Faithful TPU-native rebuild of models/FoundationStereo/foundation_stereo.py
+(round 5 — replaces the round-3 ConvNeXt approximation so published
+checkpoints import and pixelwise parity holds):
+  * `Feature` (extractor.py:321-369): timm `edgenext_small` stem+stages
+    (conv blocks + SDTA split-transpose blocks with XCA cross-covariance
+    attention, extractor/timm edgenext), Conv2x_IN deconv fusion, and the
+    frozen DepthAnything side network whose `out` feature (features//2
+    channels) is resized to 1/4 and concatenated;
+  * combined volume: 8-group gwc + concat of `proj_cmb` 12-ch projections
+    (foundation_stereo.py:240-247), `corr_stem` (1×1×1 → BasicConv →
+    2× ResnetBasicBlock3D) to 28 channels, FeatureAtt, and the `hourglass`
+    aggregation whose convs are "reduced" separable 3D convs
+    (`Conv3dNormActReduced`, spatial 3×3 then 17-tap disparity conv) and
+    whose input scale carries a disparity-axis transformer on the
+    4×-pooled volume (`CostVolumeDisparityAttention`, submodule.py:506-530
+    — `jax.nn.dot_product_attention` plays the flash-attn role);
+  * `ContextNetDino` (extractor.py:188-280): ResNet trunk fused with the
+    ViT feature, two output convs per scale → net/inp;
+  * selective GRU updates with shared CAM/SAM gates and the conv0/conv1
+    pre-mixers (update.py:101-165), `DispHead` with EdgeNeXt conv encoders
+    (update.py:19-31), 0.25-scaled mask features;
+  * cosine-normalized all-pairs correlation + 28-ch GEV lookup
+    (geometry.py:16-79) inside one `nn.scan`;
+  * `run_hierarchical` coarse-to-fine inference (foundation_stereo.py:
+    295-311).
 
-S/L variants by `vit_size` ∈ {'vits', 'vitl'}. Train →
-``(init_disp, disp_preds)``; eval → final map.
+Inputs are consumed ImageNet-normalized as-is — the reference's
+`normalize_image` is commented out (foundation_stereo.py:236-238), so no
+de-normalization happens here either.
+
+S (vits) / L (vitl) variants per the published cfg.yaml bundles
+(11-33-40, 23-51-11): max_disp=416, hidden 128×3, corr_levels=2, radius 4.
+Train → ``(init_disp, disp_preds)``; eval → final map.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -35,145 +50,630 @@ from stereo_toolbox_tpu import ops
 from stereo_toolbox_tpu.models.depth_anything_v2 import (PATCH,
                                                          DepthAnythingV2)
 from stereo_toolbox_tpu.models.igev_stereo import combined_geo_lookup
-from stereo_toolbox_tpu.models.raft_stereo import IMAGENET_MEAN, IMAGENET_STD
-from stereo_toolbox_tpu.models.selective import (SelectiveUpdateBlock,
-                                                 _cam_sam_context)
-from stereo_toolbox_tpu.nn.igev_blocks import (BasicConvBN, BasicConvIN,
-                                               Conv2x)
+from stereo_toolbox_tpu.models.selective import _cam_sam_context
+from stereo_toolbox_tpu.nn.gru import pool2x
+from stereo_toolbox_tpu.nn.igev_blocks import BasicConvBN, BasicConvIN
 from stereo_toolbox_tpu.nn.layers import FeatureAtt
-from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
-                                         band_offsets,
+from stereo_toolbox_tpu.ops.corr import (band_d_max, band_offsets,
                                          build_corr_band_pyramid,
                                          build_corr_pyramid,
                                          build_volume_pyramid)
 
+VIT_FEAT_DIM = {"vits": 32, "vitb": 64, "vitl": 128}  # features//2
 
-class ConvNeXtBlock(nn.Module):
+
+def resize_keep_aspect_ratio(h: int, w: int, divider: int = 112,
+                             max_hw: int = 1344) -> tuple[int, int]:
+    """Static twin of Utils.get_resize_keep_aspect_ratio (divider =
+    lcm(14, 16), extractor.py:346-349)."""
+    def rnd(x):
+        return int(math.ceil(x / divider) * divider)
+
+    hr, wr = rnd(h), rnd(w)
+    if hr > max_hw or wr > max_hw:
+        if hr > wr:
+            wr, hr = rnd(wr * max_hw / hr), max_hw
+        else:
+            hr, wr = rnd(hr * max_hw / wr), max_hw
+    return hr, wr
+
+
+# --------------------------------------------------------------------------
+# EdgeNeXt-small trunk (timm edgenext.py topology, channels-last)
+# --------------------------------------------------------------------------
+
+class EdgeNeXtConvBlock(nn.Module):
+    """timm edgenext ConvBlock: depthwise k×k → LN → MLP → γ, residual."""
+    dim: int
+    kernel: int = 7
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        p = self.kernel // 2
+        h = nn.Conv(self.dim, (self.kernel, self.kernel),
+                    padding=((p, p), (p, p)), feature_group_count=self.dim,
+                    dtype=self.dtype, name="conv_dw")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6),
+                           (self.dim,))
+        return shortcut + gamma.astype(h.dtype) * h
+
+
+class XCA(nn.Module):
+    """Cross-covariance attention (timm CrossCovarianceAttn): attention
+    over the channel axis with L2-normalized q/k and a learned per-head
+    temperature."""
+    dim: int
+    num_heads: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C]
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        qkv = qkv.transpose(2, 0, 3, 4, 1)  # [3, B, heads, hd, N]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        qn = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                  keepdims=True) + 1e-12).astype(q.dtype)
+        kn = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                  keepdims=True) + 1e-12).astype(k.dtype)
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads, 1, 1))
+        attn = jnp.einsum("bhcn,bhdn->bhcd", qn, kn,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * temp, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class PositionalEncodingFourier(nn.Module):
+    """timm PositionalEncodingFourier: fixed sin/cos grid → 1×1 conv."""
+    dim: int
+    hidden_dim: int = 32
+    temperature: float = 10000.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, b: int, h: int, w: int):
+        eps, scale = 1e-6, 2 * math.pi
+        y = (jnp.arange(1, h + 1, dtype=jnp.float32) / (h + eps)
+             * scale)[:, None]
+        x = (jnp.arange(1, w + 1, dtype=jnp.float32) / (w + eps)
+             * scale)[None, :]
+        dim_t = jnp.arange(self.hidden_dim, dtype=jnp.float32)
+        dim_t = self.temperature ** (2 * (dim_t // 2) / self.hidden_dim)
+        px = jnp.broadcast_to(x[..., None], (h, w, self.hidden_dim)) / dim_t
+        py = jnp.broadcast_to(y[..., None], (h, w, self.hidden_dim)) / dim_t
+        px = jnp.stack([jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2])],
+                       axis=-1).reshape(h, w, self.hidden_dim)
+        py = jnp.stack([jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])],
+                       axis=-1).reshape(h, w, self.hidden_dim)
+        pos = jnp.concatenate([py, px], axis=-1)[None]  # [1, H, W, 2*hid]
+        pos = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                      name="token_projection")(pos.astype(self.dtype or
+                                                          jnp.float32))
+        return jnp.broadcast_to(pos, (b, h, w, self.dim))
+
+
+class SplitTransposeBlock(nn.Module):
+    """timm SplitTransposeBlock (the SDTA encoder): multi-scale depthwise
+    convs on channel splits, XCA over tokens, MLP — all residual."""
+    dim: int
+    num_scales: int = 2
+    num_heads: int = 8
+    use_pos_emb: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        shortcut = x
+        b, h, w, c = x.shape
+        nconvs = max(1, self.num_scales - 1)
+        # torch .chunk(n) split sizes: ceil(c/n) except a short tail
+        width = -(-c // (nconvs + 1))
+        sizes = [width] * nconvs + [c - width * nconvs]
+        splits, off = [], 0
+        for s in sizes:
+            splits.append(x[..., off:off + s])
+            off += s
+        spo, sp = [], splits[0]
+        for i in range(nconvs):
+            if i > 0:
+                sp = sp + splits[i]
+            sp = nn.Conv(sp.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                         feature_group_count=sp.shape[-1], dtype=self.dtype,
+                         name=f"convs{i}")(sp)
+            spo.append(sp)
+        spo.append(splits[-1])
+        x = jnp.concatenate(spo, axis=-1)
+
+        t = x.reshape(b, h * w, c)
+        if self.use_pos_emb:
+            pos = PositionalEncodingFourier(self.dim, dtype=self.dtype,
+                                            name="pos_embd")(b, h, w)
+            t = t + pos.reshape(b, h * w, c).astype(t.dtype)
+        g_xca = self.param("gamma_xca", nn.initializers.constant(1e-6),
+                           (self.dim,))
+        t = t + g_xca.astype(t.dtype) * XCA(
+            self.dim, self.num_heads, dtype=self.dtype, name="xca")(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_xca")(t))
+        t = t.reshape(b, h, w, c)
+        ff = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(t)
+        ff = nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(ff)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(ff)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6),
+                           (self.dim,))
+        return shortcut + gamma.astype(ff.dtype) * ff
+
+
+class EdgeNeXtTrunk(nn.Module):
+    """edgenext_small stem + 4 stages → pyramid [1/4, 1/8, 1/16, 1/32]
+    (channels 48/96/160/304). Names mirror timm's state dict."""
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        dims = (48, 96, 160, 304)
+        depths = (3, 3, 9, 3)
+        globals_ = (0, 1, 1, 1)
+        kernels = (3, 5, 7, 9)
+        scales = (2, 2, 3, 4)
+        pos = (False, True, False, False)
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem0")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem1")(x)
+        outs = []
+        for s in range(4):
+            if s > 0:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"stage{s}_dsnorm")(x)
+                x = nn.Conv(dims[s], (2, 2), strides=(2, 2),
+                            dtype=self.dtype, name=f"stage{s}_dsconv")(x)
+            for i in range(depths[s]):
+                if i < depths[s] - globals_[s]:
+                    x = EdgeNeXtConvBlock(dims[s], kernels[s],
+                                          dtype=self.dtype,
+                                          name=f"stage{s}_block{i}")(x)
+                else:
+                    x = SplitTransposeBlock(dims[s], scales[s], 8,
+                                            use_pos_emb=pos[s],
+                                            dtype=self.dtype,
+                                            name=f"stage{s}_block{i}")(x)
+            outs.append(x)
+        return outs
+
+
+# --------------------------------------------------------------------------
+# Shared conv blocks (reference submodule.py / extractor.py variants)
+# --------------------------------------------------------------------------
+
+class ResnetBlock(nn.Module):
+    """submodule.py ResnetBasicBlock(3D): bias-free convs + norm, ReLU
+    (`instance_norm` swaps BN→IN as Conv2x_IN's conv2 does)."""
+    features: int
+    instance_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    def _norm(self, x, train, name):
+        if self.instance_norm:
+            return nn.GroupNorm(num_groups=None, group_size=1,
+                                use_bias=False, use_scale=False,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name=name)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = x.ndim - 2
+        k, p = (3,) * n, ((1, 1),) * n
+        y = nn.Conv(self.features, k, padding=p, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(self._norm(y, train, "bn1"))
+        y = nn.Conv(self.features, k, padding=p, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = self._norm(y, train, "bn2")
+        return nn.relu(x + y)
+
+
+class ResidualBlockExt(nn.Module):
+    """extractor.py ResidualBlock: bias-ful convs, norm_fn batch/instance,
+    optional 1×1 downsample."""
+    features: int
+    stride: int = 1
+    norm: str = "batch"  # 'batch' | 'instance'
+    dtype: jnp.dtype | None = None
+
+    def _norm(self, x, train, name):
+        if self.norm == "instance":
+            return nn.GroupNorm(num_groups=None, group_size=1,
+                                use_bias=False, use_scale=False,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name=name)(x)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (self.stride, self.stride)
+        y = nn.Conv(self.features, (3, 3), strides=s,
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(self._norm(y, train, "norm1"))
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(y)
+        # NB: the reference relu's the branch BEFORE the residual add
+        # (extractor.py:70-77) — unlike the textbook pre-add identity
+        y = nn.relu(self._norm(y, train, "norm2"))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=s, dtype=self.dtype,
+                        name="downsample")(x)
+            x = self._norm(x, train, "norm3")
+        return nn.relu(x + y)
+
+
+class Conv2xINRes(nn.Module):
+    """submodule.py Conv2x_IN (deconv+concat form): BasicConv_IN 4×4/2 up,
+    concat skip, ResnetBasicBlock(InstanceNorm) out."""
     features: int
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.Conv(self.features, (7, 7), padding="SAME",
-                    feature_group_count=self.features, dtype=self.dtype)(x)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
-        h = nn.Dense(4 * self.features, dtype=self.dtype)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.features, dtype=self.dtype)(h)
-        return x + h
-
-
-class EdgeTrunk(nn.Module):
-    """EdgeNeXt-small-shaped trunk: stem /4, stages at /4,/8,/16,/32 with
-    channels (48, 96, 160, 304)."""
-    dtype: jnp.dtype | None = None
-
-    @nn.compact
-    def __call__(self, x):
-        chans = (48, 96, 160, 304)
-        depths = (3, 3, 9, 3)
-        x = nn.Conv(chans[0], (4, 4), strides=(4, 4), dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
-        outs = []
-        for i, (c, d) in enumerate(zip(chans, depths)):
-            if i > 0:
-                x = nn.LayerNorm(dtype=self.dtype)(x)
-                x = nn.Conv(c, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
-            for _ in range(d):
-                x = ConvNeXtBlock(c, dtype=self.dtype)(x)
-            outs.append(x)
-        return outs  # [x4, x8, x16, x32]
+    def __call__(self, x, rem):
+        x = BasicConvIN(self.features, 4, 2, deconv=True, dtype=self.dtype,
+                        name="conv1")(x)
+        if x.shape[1:-1] != rem.shape[1:-1]:
+            x = ops.interpolate(x, rem.shape[1:-1], (1, 2),
+                                align_corners=False)
+        x = jnp.concatenate([x, rem], axis=-1)
+        return ResnetBlock(self.features * 2, instance_norm=True,
+                           dtype=self.dtype, name="conv2")(x)
 
 
 class Conv3dNormActReduced(nn.Module):
-    """Separable volume conv: spatial (1,3,3) then disparity (k_disp,1,1)
-    (FoundationStereo submodule `Conv3dNormActReduced`)."""
+    """Separable volume conv: spatial (1,3,3) then disparity (kd,1,1),
+    both bias-ful + BN + ReLU (submodule.py:89-114)."""
     features: int
     kernel_disp: int = 17
-    strides: int = 1
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        s = (self.strides,) * 3
-        h = nn.Conv(self.features, (1, 3, 3), strides=s, padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train,
-                         dtype=self.dtype)(h)
+        h = nn.Conv(self.features, (1, 3, 3),
+                    padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (self.kernel_disp, 1, 1), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        kd = self.kernel_disp
+        h = nn.Conv(self.features, (kd, 1, 1),
+                    padding=((kd // 2, kd // 2), (0, 0), (0, 0)),
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(h)
         return nn.relu(h)
 
 
 class CostVolumeDisparityAttention(nn.Module):
-    """Transformer along the disparity axis (submodule.py:506-530)."""
+    """Post-norm transformer along the disparity axis with fixed sinusoidal
+    positions (submodule.py:472-530). d_model=28, 4 heads, ffw=28,
+    4 layers, max_len = max_disp//16."""
+    d_model: int = 28
+    nhead: int = 4
     num_layers: int = 4
-    num_heads: int = 4
+    max_len: int = 26
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        # x: [B, D, H, W, C] → attention over D per pixel
+    def __call__(self, x):  # [B, D, H, W, C]
         b, d, h, w, c = x.shape
         seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, d, c)
+        # PositionalEmbedding (submodule.py:472-503)
+        pos = jnp.arange(self.max_len, dtype=jnp.float32)[:, None]
+        div = jnp.exp(jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+                      * -(math.log(10000.0) / self.d_model))[None]
+        pe = jnp.zeros((self.max_len, self.d_model), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        seq = seq + pe[None, :d].astype(seq.dtype)
+
+        hd = c // self.nhead
         for i in range(self.num_layers):
-            a = nn.LayerNorm(dtype=self.dtype)(seq)
-            a = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, qkv_features=c,
-                dtype=self.dtype, name=f"attn{i}")(a, a)
-            seq = seq + a
-            f = nn.LayerNorm(dtype=self.dtype)(seq)
-            f = nn.Dense(c, dtype=self.dtype)(nn.relu(
-                nn.Dense(c, dtype=self.dtype)(f)))
-            seq = seq + f
+            q = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_q")(seq)
+            k = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_k")(seq)
+            v = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_v")(seq)
+            shp = (b * h * w, d, self.nhead, hd)
+            a = jax.nn.dot_product_attention(q.reshape(shp), k.reshape(shp),
+                                             v.reshape(shp))
+            a = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_out")(
+                a.reshape(b * h * w, d, c))
+            seq = nn.LayerNorm(dtype=self.dtype, name=f"sa{i}_norm1")(
+                seq + a)
+            f = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_lin1")(seq)
+            f = nn.gelu(f, approximate=False)
+            f = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_lin2")(f)
+            seq = nn.LayerNorm(dtype=self.dtype, name=f"sa{i}_norm2")(
+                seq + f)
         return seq.reshape(b, h, w, d, c).transpose(0, 3, 1, 2, 4)
 
 
 class FSHourglass(nn.Module):
-    """Hourglass with reduced convs + disparity-axis attention at the input
-    scale (foundation_stereo.py:46-126)."""
-    features: int = 8
+    """hourglass with reduced convs + disparity attention on the 4×-pooled
+    volume (foundation_stereo.py:46-126)."""
+    features: int = 28
+    max_disp: int = 416
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, features, train: bool = False):
-        f = self.features
-        dt = self.dtype
-        c1 = BasicConvBN(f * 2, 3, 2, dtype=dt)(x, train)
-        c1 = Conv3dNormActReduced(f * 2, dtype=dt)(c1, train)
-        c1 = FeatureAtt(f * 2, dtype=dt)(c1, features[1], train)
-        c2 = BasicConvBN(f * 4, 3, 2, dtype=dt)(c1, train)
-        c2 = Conv3dNormActReduced(f * 4, dtype=dt)(c2, train)
-        c2 = FeatureAtt(f * 4, dtype=dt)(c2, features[2], train)
-        c3 = BasicConvBN(f * 6, 3, 2, dtype=dt)(c2, train)
-        c3 = Conv3dNormActReduced(f * 6, dtype=dt)(c3, train)
-        c3 = FeatureAtt(f * 6, dtype=dt)(c3, features[3], train)
+        f, dt = self.features, self.dtype
+        c1 = BasicConvBN(f * 2, 3, 2, dtype=dt, name="conv1_0")(x, train)
+        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="conv1_1")(c1, train)
+        c1 = FeatureAtt(f * 2, dtype=dt,
+                        name="feature_att_8")(c1, features[1], train)
+        c2 = BasicConvBN(f * 4, 3, 2, dtype=dt, name="conv2_0")(c1, train)
+        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="conv2_1")(c2, train)
+        c2 = FeatureAtt(f * 4, dtype=dt,
+                        name="feature_att_16")(c2, features[2], train)
+        c3 = BasicConvBN(f * 6, 3, 2, dtype=dt, name="conv3_0")(c2, train)
+        c3 = Conv3dNormActReduced(f * 6, dtype=dt, name="conv3_1")(c3, train)
+        c3 = FeatureAtt(f * 6, dtype=dt,
+                        name="feature_att_32")(c3, features[3], train)
 
-        up2 = BasicConvBN(f * 4, 4, 2, deconv=True, dtype=dt)(c3, train)
-        c2 = jnp.concatenate([up2, c2], -1)
-        c2 = BasicConvBN(f * 4, 1, 1, dtype=dt)(c2, train)
-        c2 = Conv3dNormActReduced(f * 4, dtype=dt)(c2, train)
-        c2 = FeatureAtt(f * 4, dtype=dt)(c2, features[2], train)
-        up1 = BasicConvBN(f * 2, 4, 2, deconv=True, dtype=dt)(c2, train)
-        c1 = jnp.concatenate([up1, c1], -1)
-        c1 = BasicConvBN(f * 2, 1, 1, dtype=dt)(c1, train)
-        c1 = Conv3dNormActReduced(f * 2, dtype=dt)(c1, train)
-        c1 = FeatureAtt(f * 2, dtype=dt)(c1, features[1], train)
-        out = BasicConvBN(f, 4, 2, deconv=True, dtype=dt)(c1, train)
+        c3u = BasicConvBN(f * 4, 4, 2, deconv=True, dtype=dt,
+                          name="conv3_up")(c3, train)
+        c2 = jnp.concatenate([c3u, c2], axis=-1)
+        c2 = BasicConvBN(f * 4, 1, 1, dtype=dt, name="agg_0_0")(c2, train)
+        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="agg_0_1")(c2, train)
+        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="agg_0_2")(c2, train)
+        c2 = FeatureAtt(f * 4, dtype=dt,
+                        name="feature_att_up_16")(c2, features[2], train)
+        c2u = BasicConvBN(f * 2, 4, 2, deconv=True, dtype=dt,
+                          name="conv2_up")(c2, train)
+        c1 = jnp.concatenate([c2u, c1], axis=-1)
+        c1 = BasicConvBN(f * 2, 1, 1, dtype=dt, name="agg_1_0")(c1, train)
+        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="agg_1_1")(c1, train)
+        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="agg_1_2")(c1, train)
+        c1 = FeatureAtt(f * 2, dtype=dt,
+                        name="feature_att_up_8")(c1, features[1], train)
+        conv = BasicConvBN(f, 4, 2, deconv=True, dtype=dt,
+                           name="conv1_up")(c1, train)
 
-        # disparity-axis attention branch on the 4×-pooled input volume
         patch = nn.Conv(f, (4, 4, 4), strides=(4, 4, 4), padding="VALID",
-                        feature_group_count=f, use_bias=False,
-                        dtype=dt, name="conv_patch")(x)
-        patch = nn.BatchNorm(use_running_average=not train, dtype=dt)(patch)
-        patch = CostVolumeDisparityAttention(dtype=dt, name="att4")(patch)
-        patch = ops.interpolate(patch, out.shape[1:4], (1, 2, 3),
+                        feature_group_count=f, dtype=dt,
+                        name="conv_patch_0")(x)
+        patch = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=dt,
+                             name="conv_patch_1")(patch)
+        patch = CostVolumeDisparityAttention(
+            f, 4, 4, max_len=self.max_disp // 16, dtype=dt,
+            name="att4")(patch)
+        patch = ops.interpolate(patch, conv.shape[1:4], (1, 2, 3),
                                 align_corners=False)
-        out = out + patch
-        out = Conv3dNormActReduced(f, dtype=dt)(out, train)
-        return Conv3dNormActReduced(f, dtype=dt)(out, train)
+        conv = conv + patch
+        conv = Conv3dNormActReduced(f, dtype=dt, name="conv_out_0")(conv,
+                                                                    train)
+        return Conv3dNormActReduced(f, dtype=dt, name="conv_out_1")(conv,
+                                                                    train)
+
+
+class FSFeature(nn.Module):
+    """Feature (extractor.py:321-369): EdgeNeXt trunk + deconv fusion +
+    frozen DepthAnything side feature at 1/4."""
+    vit_size: str = "vits"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, raw_x):
+        # x: ImageNet-normalized [2B, H, W, 3]; raw_x = same (the reference
+        # feeds the model input to both trunk and dino unchanged)
+        b2, h, w, _ = x.shape
+        hr, wr = resize_keep_aspect_ratio(h, w)
+        dino_in = x if (hr, wr) == (h, w) else jax.image.resize(
+            x, (b2, hr, wr, 3), method="cubic")
+        dino = DepthAnythingV2(self.vit_size, dtype=self.dtype, name="dino")
+        _, vfeats = dino(dino_in, return_features=True)
+        vit_feat = jax.lax.stop_gradient(vfeats["out"])
+        vit_feat = ops.interpolate(vit_feat.astype(x.dtype),
+                                   (h // 4, w // 4), (1, 2),
+                                   align_corners=True)
+
+        x4, x8, x16, x32 = EdgeNeXtTrunk(dtype=self.dtype,
+                                         name="edgenext")(x)
+        x16 = Conv2xINRes(160, dtype=self.dtype,
+                          name="deconv32_16")(x32, x16)   # 320
+        x8 = Conv2xINRes(96, dtype=self.dtype,
+                         name="deconv16_8")(x16, x8)      # 192
+        x4 = Conv2xINRes(48, dtype=self.dtype,
+                         name="deconv8_4")(x8, x4)        # 96
+        x4 = jnp.concatenate([x4, vit_feat], axis=-1)
+        c = x4.shape[-1]
+        x4 = BasicConvIN(c, 3, 1, dtype=self.dtype, name="conv4_0")(x4)
+        x4 = ResidualBlockExt(c, norm="instance", dtype=self.dtype,
+                              name="conv4_1")(x4)
+        x4 = ResidualBlockExt(c, norm="instance", dtype=self.dtype,
+                              name="conv4_2")(x4)
+        return [x4, x8, x16, x32], vit_feat
+
+
+class ContextNetDino(nn.Module):
+    """extractor.py:188-280 — ResNet context encoder fused with the ViT
+    feature; two output convs per scale (net, inp)."""
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, vit_feat, train: bool = False):
+        dt = self.dtype
+        # downsample = n_downsample = 2 → conv1 stride 1, layer2/layer3
+        # stride 2 (extractor.py:102,106-108): context at 1/4, 1/8, 1/16
+        x = nn.Conv(64, (7, 7), strides=(1, 1), padding=((3, 3), (3, 3)),
+                    dtype=dt, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, name="norm1")(x)
+        x = nn.relu(x)
+
+        def layer(x, feats, stride, name):
+            x = ResidualBlockExt(feats, stride, dtype=dt,
+                                 name=f"{name}_0")(x, train)
+            return ResidualBlockExt(feats, 1, dtype=dt,
+                                    name=f"{name}_1")(x, train)
+
+        x = layer(x, 64, 1, "layer1")
+        x = layer(x, 96, 2, "layer2")
+        x = layer(x, 128, 2, "layer3")
+        x = jnp.concatenate([x, vit_feat.astype(x.dtype)], axis=-1)
+        x = BasicConvBN(128, 3, 1, dtype=dt, name="conv2")(x, train)
+
+        def heads(x, name, with_res=True):
+            outs = []
+            for j in range(2):
+                y = x
+                if with_res:
+                    y = ResidualBlockExt(128, 1, dtype=dt,
+                                         name=f"{name}_{j}_res")(y, train)
+                outs.append(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)),
+                                    dtype=dt, name=f"{name}_{j}_out")(y))
+            return tuple(outs)
+
+        o04 = heads(x, "outputs04")
+        y = layer(x, 128, 2, "layer4")
+        o08 = heads(y, "outputs08")
+        z = layer(y, 128, 2, "layer5")
+        o16 = heads(z, "outputs16", with_res=False)
+        return [o04, o08, o16]
+
+
+class EdgeNextConvEncoder(nn.Module):
+    """submodule.py:565-600 (norm=None variant used by DispHead)."""
+    dim: int
+    kernel: int = 7
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel // 2
+        h = nn.Conv(self.dim, (self.kernel, self.kernel),
+                    padding=((p, p), (p, p)), feature_group_count=self.dim,
+                    dtype=self.dtype, name="dwconv")(x)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6),
+                           (self.dim,))
+        return x + gamma.astype(h.dtype) * h
+
+
+class FSMotionEncoder(nn.Module):
+    """BasicMotionEncoder (update.py:50-70), cor_planes = levels·9·29."""
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, disp, corr):
+        dt = self.dtype
+        c = nn.relu(nn.Conv(256, (1, 1), dtype=dt, name="convc1")(corr))
+        c = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                            name="convc2")(c))
+        d = nn.relu(nn.Conv(64, (7, 7), padding=((3, 3), (3, 3)), dtype=dt,
+                            name="convd1")(disp))
+        d = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                            name="convd2")(d))
+        out = nn.relu(nn.Conv(127, (3, 3), padding=((1, 1), (1, 1)),
+                              dtype=dt, name="conv")(
+            jnp.concatenate([c, d], axis=-1)))
+        return jnp.concatenate([out, disp], axis=-1)
+
+
+class FSRaftGRU(nn.Module):
+    hidden_dim: int
+    kernel: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, h, x, hx):
+        k, p = (self.kernel,) * 2, ((self.kernel // 2,) * 2,) * 2
+        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding=p,
+                                   dtype=self.dtype, name="convz")(hx))
+        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding=p,
+                                   dtype=self.dtype, name="convr")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden_dim, k, padding=p,
+                             dtype=self.dtype, name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class FSSelectiveGRU(nn.Module):
+    """SelectiveConvGRU with conv0/conv1 pre-mixers (update.py:101-122)."""
+    hidden_dim: int = 128
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, att, h, *xs):
+        x = jnp.concatenate(xs, axis=-1)
+        x = nn.relu(nn.Conv(x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name="conv0")(x))
+        hx = jnp.concatenate([x, h], axis=-1)
+        hx = nn.relu(nn.Conv(hx.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                             dtype=self.dtype, name="conv1")(hx))
+        small = FSRaftGRU(self.hidden_dim, 1, dtype=self.dtype,
+                          name="small_gru")(h, x, hx)
+        large = FSRaftGRU(self.hidden_dim, 3, dtype=self.dtype,
+                          name="large_gru")(h, x, hx)
+        return small * att + large * (1 - att)
+
+
+class FSUpdateBlock(nn.Module):
+    """BasicSelectiveMultiUpdateBlock (update.py:125-165)."""
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    n_gru_layers: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, nets, inps, atts, corr, disp):
+        dt = self.dtype
+        net04, net08, net16 = nets
+        inp04, inp08, inp16 = inps
+        att04, att08, att16 = atts
+        if self.n_gru_layers == 3:
+            net16 = FSSelectiveGRU(self.hidden_dims[0], dtype=dt,
+                                   name="gru16")(att16, net16, inp16,
+                                                 pool2x(net08))
+        if self.n_gru_layers >= 2:
+            xs = [inp08, pool2x(net04)]
+            if self.n_gru_layers > 2:
+                xs.append(ops.interpolate(net16, net08.shape[1:3], (1, 2),
+                                          align_corners=True))
+            net08 = FSSelectiveGRU(self.hidden_dims[1], dtype=dt,
+                                   name="gru08")(att08, net08, *xs)
+        motion = FSMotionEncoder(dtype=dt, name="encoder")(disp, corr)
+        motion = jnp.concatenate([inp04, motion], axis=-1)
+        xs = [motion]
+        if self.n_gru_layers > 1:
+            xs.append(ops.interpolate(net08, net04.shape[1:3], (1, 2),
+                                      align_corners=True))
+        net04 = FSSelectiveGRU(self.hidden_dims[2], dtype=dt,
+                               name="gru04")(att04, net04, *xs)
+
+        d = nn.relu(nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                            name="disp_head_0")(net04))
+        d = EdgeNextConvEncoder(128, dtype=dt, name="disp_head_2")(d)
+        d = EdgeNextConvEncoder(128, dtype=dt, name="disp_head_3")(d)
+        delta = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                        name="disp_head_4")(d)
+        m = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                            name="mask_0")(net04))
+        mask_feat = 0.25 * nn.relu(nn.Conv(32, (3, 3),
+                                           padding=((1, 1), (1, 1)),
+                                           dtype=dt, name="mask_2")(m))
+        return (net04, net08, net16), mask_feat, delta
 
 
 class _FSStep(nn.Module):
@@ -193,18 +693,28 @@ class _FSStep(nn.Module):
         disp = jax.lax.stop_gradient(disp)
         geo_feat = combined_geo_lookup(geo_pyr, corr_pyr, disp, x0,
                                        self.corr_radius, self.band_offs)
-        nets, mask_feat, delta = SelectiveUpdateBlock(
-            self.hidden_dims, self.n_gru_layers, "superpixel",
-            dtype=self.dtype, name="update_block")(
-                nets, inps, atts, geo_feat, disp[..., None])
+        nets, mask_feat, delta = FSUpdateBlock(
+            self.hidden_dims, self.n_gru_layers, dtype=self.dtype,
+            name="update_block")(nets, inps, atts,
+                                 geo_feat.astype(stem_2x.dtype),
+                                 disp[..., None].astype(stem_2x.dtype))
         disp = disp + delta[..., 0].astype(disp.dtype)
-        spx2 = Conv2x(32, deconv=True, dtype=self.dtype, name="spx_2_gru")
+
+        # spx_2_gru = Conv2x(32, 32, deconv, bn=False) + spx_gru deconv→9
+        up1 = BasicConvBN(32, 4, 2, deconv=True, norm=False,
+                          dtype=self.dtype, name="spx_2_gru_conv1")
+        up2 = BasicConvBN(64, 3, 1, norm=False, dtype=self.dtype,
+                          name="spx_2_gru_conv2")
         spxc = nn.ConvTranspose(9, (4, 4), strides=(2, 2), padding="SAME",
                                 dtype=self.dtype, name="spx_gru")
 
         def upsample(mask_feat, stem_2x, disp):
-            spx = jax.nn.softmax(
-                spxc(spx2(mask_feat, stem_2x)).astype(jnp.float32), axis=-1)
+            x = up1(mask_feat, False)
+            if x.shape[1:-1] != stem_2x.shape[1:-1]:
+                x = ops.interpolate(x, stem_2x.shape[1:-1], (1, 2),
+                                    align_corners=False)
+            x = up2(jnp.concatenate([x, stem_2x], axis=-1), False)
+            spx = jax.nn.softmax(spxc(x).astype(jnp.float32), axis=-1)
             return ops.context_upsample(disp.astype(jnp.float32) * 4.0, spx)
 
         if not self.skip_unemitted:
@@ -224,17 +734,17 @@ class _FSStep(nn.Module):
 
 class FoundationStereo(nn.Module):
     vit_size: str = "vits"
-    max_disp: int = 192
+    max_disp: int = 416
     cv_group: int = 8
-    volume_dim: int = 8
+    volume_dim: int = 28
     hidden_dims: Sequence[int] = (128, 128, 128)
     corr_levels: int = 2
     corr_radius: int = 4
     n_gru_layers: int = 3
     train_iters: int = 22
     valid_iters: int = 32
-    imagenet_norm_input: bool = True
-    # disparity-banded relative corr volumes by default (ops/corr.py)
+    # 'banded' caps corr lookups at max_disp + band_margin; the
+    # reference pyramid is all-pairs — use 'reg' for uncapped parity
     corr_impl: str = "banded"
     band_margin: int = 32
     dtype: jnp.dtype | None = None
@@ -246,94 +756,85 @@ class FoundationStereo(nn.Module):
         b, h, w, _ = left.shape
         h4, w4 = h // 4, w // 4
         dt = self.dtype
-        mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
-        std = jnp.asarray(IMAGENET_STD, left.dtype)
-        if self.imagenet_norm_input:
-            img1 = 2.0 * (left * std + mean) - 1.0
-            img2 = 2.0 * (right * std + mean) - 1.0
-        else:
-            img1, img2 = left, right
+        # the reference consumes ImageNet-normalized input unchanged
+        # (normalize_image is commented out, foundation_stereo.py:236-238)
+        both = jnp.concatenate([left, right], 0)
 
-        both = jnp.concatenate([img1, img2], 0)
+        feats, vit_feat = FSFeature(self.vit_size, dtype=dt,
+                                    name="feature")(both, both)
+        fl = [f[:b] for f in feats]
+        fr0 = feats[0][b:]
+        vit_feat = vit_feat[:b]
 
-        # CNN trunk + frozen ViT side features
-        trunk = EdgeTrunk(dtype=dt, name="trunk")
-        x4, x8, x16, x32 = trunk(both)
-        rh = -(-h // PATCH) * PATCH
-        rw = -(-w // PATCH) * PATCH
-        danv2 = DepthAnythingV2(self.vit_size, dtype=dt, name="dino")
-        both_in = jnp.concatenate([left, right], 0)
-        _, vfeats = danv2(
-            ops.interpolate(both_in, (rh, rw), (1, 2), align_corners=False),
-            return_features=True)
-        vit_feat = jax.lax.stop_gradient(vfeats["path_1"])
-        vit_feat = ops.interpolate(vit_feat, (h4, w4), (1, 2),
-                                   align_corners=True)
-        vit_feat = nn.Conv(32, (1, 1), dtype=dt, name="vit_proj")(
-            vit_feat.astype(x4.dtype))
-
-        x16 = Conv2x(160, deconv=True, instance_norm=True, dtype=dt,
-                     name="deconv32_16")(x32, x16)
-        x8 = Conv2x(96, deconv=True, instance_norm=True, dtype=dt,
-                    name="deconv16_8")(x16, x8)
-        x4 = Conv2x(48, deconv=True, instance_norm=True, dtype=dt,
-                    name="deconv8_4")(x8, x4)
-        x4 = jnp.concatenate([x4, vit_feat], -1)
-        x4 = BasicConvIN(x4.shape[-1], 3, 1, dtype=dt, name="conv4")(x4)
-
-        fl = [x4[:b], x8[:b], x16[:b], x32[:b]]
-        fr0 = x4[b:]
-        stem_2a = BasicConvIN(32, 3, 2, dtype=dt, name="stem_2a")
-        stem_2x = stem_2a(img1)
+        # stem_2 (foundation_stereo.py:167-172): BasicConv_IN s2 + conv +
+        # IN + plain ReLU
+        s2 = BasicConvIN(32, 3, 2, dtype=dt, name="stem_2_0")(left)
+        s2 = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     dtype=dt, name="stem_2_1")(s2)
+        s2 = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                          use_scale=False, epsilon=1e-5, dtype=dt,
+                          name="stem_2_2")(s2)
+        stem_2x = nn.relu(s2)
 
         d4 = self.max_disp // 4
-        gwc = ops.build_gwc_volume(fl[0], fr0, d4, self.cv_group)
-        proj = nn.Conv(12, (1, 1), use_bias=False, dtype=dt,
-                       name="proj_cmb")
-        # FoundationStereo keeps left features at every d (submodule.py:416-427)
+        # per-group COSINE correlation (submodule.py:388-397 normalizes
+        # each group's channels before the dot product)
+        gwc = ops.build_gwc_volume_cosine(fl[0], fr0, d4, self.cv_group)
+        proj = nn.Conv(12, (1, 1), dtype=dt, name="proj_cmb")
+        # FoundationStereo keeps left features at every d
+        # (submodule.py:416-427)
         cvol = ops.build_concat_volume(proj(fl[0]), proj(fr0), d4,
                                        mask_left=False)
         comb = jnp.concatenate([gwc, cvol], -1)
+        comb = nn.Conv(self.volume_dim, (1, 1, 1), dtype=dt,
+                       name="corr_stem_0")(comb)
         comb = BasicConvBN(self.volume_dim, 3, 1, dtype=dt,
-                           name="corr_stem")(comb, train)
+                           name="corr_stem_1")(comb, train)
+        comb = ResnetBlock(self.volume_dim, dtype=dt,
+                           name="corr_stem_2")(comb, train)
+        comb = ResnetBlock(self.volume_dim, dtype=dt,
+                           name="corr_stem_3")(comb, train)
         comb = FeatureAtt(self.volume_dim, dtype=dt,
                           name="corr_feature_att")(comb, fl[0], train)
-        gev = FSHourglass(self.volume_dim, dtype=dt,
+        gev = FSHourglass(self.volume_dim, self.max_disp, dtype=dt,
                           name="cost_agg")(comb, fl, train)
 
-        prob = jax.nn.softmax(
-            nn.Conv(1, (3, 3, 3), use_bias=False, dtype=dt,
-                    name="classifier")(gev)[..., 0].astype(jnp.float32), 1)
+        cls = BasicConvBN(self.volume_dim // 2, 3, 1, dtype=dt,
+                          name="classifier_0")(gev, train)
+        cls = ResnetBlock(self.volume_dim // 2, dtype=dt,
+                          name="classifier_1")(cls, train)
+        cls = nn.Conv(1, (7, 7, 7), padding=((3, 3),) * 3, dtype=dt,
+                      name="classifier_2")(cls)
+        prob = jax.nn.softmax(cls[..., 0].astype(jnp.float32), 1)
         if init_disp is None:
             init_disp = ops.disparity_regression(prob, d4)
 
-        # context: trunk features + CAM/SAM
-        c04 = nn.Conv(self.hidden_dims[2] * 2, (3, 3), padding="SAME",
-                      dtype=dt, name="cnet4")(fl[0])
-        c08 = nn.Conv(self.hidden_dims[1] * 2, (3, 3), padding="SAME",
-                      dtype=dt, name="cnet8")(fl[1])
-        c16 = nn.Conv(self.hidden_dims[0] * 2, (3, 3), padding="SAME",
-                      dtype=dt, name="cnet16")(fl[2])
-        cnet_out = [tuple(jnp.split(c, 2, axis=-1))
-                    for c in (c04, c08, c16)]
+        cnet_out = ContextNetDino(dtype=dt, name="cnet")(
+            left, ops.interpolate(vit_feat, (h4, w4), (1, 2),
+                                  align_corners=True)
+            if vit_feat.shape[1:3] != (h4, w4) else vit_feat, train)
         nets, inps, atts = _cam_sam_context(cnet_out, dt)
 
         gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
-        # IGEV-style corr is unnormalized (FoundationStereo/geometry.py:62-72)
+        # cosine (L2-normalized) correlation — geometry.py:66-79
+        fln = fl[0].astype(jnp.float32)
+        fln = fln / (jnp.linalg.norm(fln, axis=-1, keepdims=True) + 1e-12)
+        frn = fr0.astype(jnp.float32)
+        frn = frn / (jnp.linalg.norm(frn, axis=-1, keepdims=True) + 1e-12)
         band_offs = ()
         if self.corr_impl == "banded":
+            # capped at max_disp + margin (the reference's corr pyramid is
+            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
+            db = band_d_max(d4, fl[0].shape[2])
             m4 = max(self.band_margin // 4, 1)
-            band_offs = band_offsets(self.corr_levels, d4,
+            band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
-                fl[0].astype(jnp.float32), fr0.astype(jnp.float32),
-                self.corr_levels, d4, self.corr_radius, m4,
+                fln, frn, self.corr_levels, db, self.corr_radius, m4,
                 normalize=False)
         else:
-            corr = all_pairs_correlation(fl[0].astype(jnp.float32),
-                                         fr0.astype(jnp.float32),
-                                         normalize=False)
+            corr = jnp.einsum("bhic,bhjc->bhij", fln, frn)
             corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))
         x0 = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))

@@ -1321,8 +1321,8 @@ DAV2_SCOPES = {
     "MonSter": "mono",
     "DEFOMStereo_S": "defomencoder",
     "DEFOMStereo_L": "defomencoder",
-    "FoundationStereo_S": "dino",
-    "FoundationStereo_L": "dino",
+    "FoundationStereo_S": "feature/dino",
+    "FoundationStereo_L": "feature/dino",
     "StereoAnywhere": "mono_model",
 }
 
@@ -1347,9 +1347,12 @@ def graft_dav2_trunk(model_name: str, variables: dict, sd_or_path,
         raise KeyError(f"{model_name!r} has no DAv2 trunk; one of "
                        f"{sorted(DAV2_SCOPES)}")
     scope = DAV2_SCOPES[model_name]
-    if scope not in variables.get("params", {}):
-        raise KeyError(f"model variables have no {scope!r} scope — init the "
-                       f"model first")
+    node = variables.get("params", {})
+    for part in scope.split("/"):
+        if part not in node:
+            raise KeyError(f"model variables have no {scope!r} scope — "
+                           f"init the model first")
+        node = node[part]
 
     skipped: list = []
 
@@ -1372,10 +1375,310 @@ def graft_dav2_trunk(model_name: str, variables: dict, sd_or_path,
         return out
 
     params = dict(variables["params"])
-    params[scope] = merge(params[scope], dav2["params"], scope)
+    parts = scope.split("/")
+    if len(parts) == 1:
+        params[scope] = merge(params[scope], dav2["params"], scope)
+    else:
+        outer, inner = parts
+        sub = dict(params[outer])
+        sub[inner] = merge(sub[inner], dav2["params"], scope)
+        params[outer] = sub
     new_vars = dict(variables)
     new_vars["params"] = params
     return new_vars, skipped
+
+
+def _edgenext_trunk(b: _Builder, f: str, t: str) -> None:
+    """timm edgenext_small stem+stages (tests/_reference_shim.py
+    `_make_timm_edgenext`; reference FoundationStereo/extractor.py:326-328)
+    → our EdgeNeXtTrunk."""
+    b.conv(f"{f}/stem0", f"{t}.stem.0", bias=True)
+    b.layernorm(f"{f}/stem1", f"{t}.stem.1")
+    depths = (3, 3, 9, 3)
+    globals_ = (0, 1, 1, 1)
+    scales = (2, 2, 3, 4)
+    pos = (False, True, False, False)
+    for s in range(4):
+        if s > 0:
+            b.layernorm(f"{f}/stage{s}_dsnorm", f"{t}.stages.{s}.downsample.0")
+            b.conv(f"{f}/stage{s}_dsconv", f"{t}.stages.{s}.downsample.1",
+                   bias=True)
+        for i in range(depths[s]):
+            tb = f"{t}.stages.{s}.blocks.{i}"
+            fb = f"{f}/stage{s}_block{i}"
+            if i < depths[s] - globals_[s]:
+                b.conv(f"{fb}/conv_dw", f"{tb}.conv_dw", bias=True)
+                b.layernorm(f"{fb}/norm", f"{tb}.norm")
+                b.dense(f"{fb}/fc1", f"{tb}.mlp.fc1")
+                b.dense(f"{fb}/fc2", f"{tb}.mlp.fc2")
+                b.raw(f"{fb}/gamma", f"{tb}.gamma")
+            else:
+                for j in range(max(1, scales[s] - 1)):
+                    b.conv(f"{fb}/convs{j}", f"{tb}.convs.{j}", bias=True)
+                if pos[s]:
+                    b.conv(f"{fb}/pos_embd/token_projection",
+                           f"{tb}.pos_embd.token_projection", bias=True)
+                b.layernorm(f"{fb}/norm_xca", f"{tb}.norm_xca")
+                b.raw(f"{fb}/gamma_xca", f"{tb}.gamma_xca")
+                b.dense(f"{fb}/xca/qkv", f"{tb}.xca.qkv")
+                b.dense(f"{fb}/xca/proj", f"{tb}.xca.proj")
+                b.raw(f"{fb}/xca/temperature", f"{tb}.xca.temperature")
+                b.layernorm(f"{fb}/norm", f"{tb}.norm")
+                b.dense(f"{fb}/fc1", f"{tb}.mlp.fc1")
+                b.dense(f"{fb}/fc2", f"{tb}.mlp.fc2")
+                b.raw(f"{fb}/gamma", f"{tb}.gamma")
+
+
+def _resnet_block3d(b: _Builder, f: str, t: str) -> None:
+    """submodule ResnetBasicBlock(3D) → our ResnetBlock (BN variant)."""
+    b.conv(f"{f}/conv1", f"{t}.conv1")
+    b.bn(f"{f}/bn1", f"{t}.bn1")
+    b.conv(f"{f}/conv2", f"{t}.conv2")
+    b.bn(f"{f}/bn2", f"{t}.bn2")
+
+
+def _residual_ext(b: _Builder, f: str, t: str, norm: str = "batch",
+                  downsample: bool = False) -> None:
+    """extractor ResidualBlock → ResidualBlockExt (instance norm has no
+    params; batch norm maps)."""
+    b.conv(f"{f}/conv1", f"{t}.conv1", bias=True)
+    b.conv(f"{f}/conv2", f"{t}.conv2", bias=True)
+    if norm == "batch":
+        b.bn(f"{f}/norm1", f"{t}.norm1")
+        b.bn(f"{f}/norm2", f"{t}.norm2")
+    if downsample:
+        b.conv(f"{f}/downsample", f"{t}.downsample.0", bias=True)
+        if norm == "batch":
+            b.bn(f"{f}/norm3", f"{t}.norm3")
+            # the same BN module is registered twice (norm3 AND
+            # downsample.1, extractor.py:60-62) — consume the aliases
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                if f"{t}.downsample.1.{suf}" in b.sd:
+                    b._take(f"{t}.downsample.1.{suf}")
+
+
+def _conv3d_reduced(b: _Builder, f: str, t: str) -> None:
+    """Conv3dNormActReduced (submodule.py:89-114)."""
+    b.conv(f"{f}/conv1", f"{t}.conv1.0", bias=True)
+    b.bn(f"{f}/bn1", f"{t}.conv1.1")
+    b.conv(f"{f}/conv2", f"{t}.conv2.0", bias=True)
+    b.bn(f"{f}/bn2", f"{t}.conv2.1")
+
+
+def _feature_att(b: _Builder, f: str, t: str) -> None:
+    b.convbn(f"{f}/ConvBNAct_0", f"{t}.feat_att.0.conv",
+             f"{t}.feat_att.0.bn")
+    b.conv(f"{f}/Conv_0", f"{t}.feat_att.1", bias=True)
+
+
+def convert_foundation(sd: dict, vit_size: str = None) -> tuple[dict, list]:
+    """Reference FoundationStereo (models/FoundationStereo/
+    foundation_stereo.py:128-292) → our FoundationStereo variables."""
+    b = _Builder(sd)
+
+    # --- Feature: EdgeNeXt trunk + DAv2 side network + deconv fusion ----
+    _edgenext_trunk(b, "feature/edgenext", "feature")
+    dino_sd = {k[len("feature.dino.depth_anything."):]: v
+               for k, v in sd.items()
+               if k.startswith("feature.dino.depth_anything.")}
+    dv, dleft = convert_depth_anything_v2(dino_sd, vit_size)
+    if dleft:
+        raise ValueError(f"unconsumed dino keys: {dleft[:5]}")
+    for path, tree in (("params", dv["params"]),
+                       ("batch_stats", dv["batch_stats"])):
+        dst = b.params if path == "params" else b.stats
+        node = dst.setdefault("feature", {}).setdefault("dino", {})
+        node.update(tree)
+    b.used.update("feature.dino.depth_anything." + k for k in dino_sd
+                  if "feature.dino.depth_anything." + k in sd)
+    for name in ("deconv32_16", "deconv16_8", "deconv8_4"):
+        t, f = f"feature.{name}", f"feature/{name}"
+        b.conv_transpose(f"{f}/conv1/ConvTranspose_0", f"{t}.conv1.conv")
+        b.conv(f"{f}/conv2/conv1", f"{t}.conv2.conv1")
+        b.conv(f"{f}/conv2/conv2", f"{t}.conv2.conv2")
+    b.conv("feature/conv4_0/Conv_0", "feature.conv4.0.conv")
+    _residual_ext(b, "feature/conv4_1", "feature.conv4.1", "instance")
+    _residual_ext(b, "feature/conv4_2", "feature.conv4.2", "instance")
+
+    # --- ContextNetDino --------------------------------------------------
+    b.conv("cnet/conv1", "cnet.conv1", bias=True)
+    b.bn("cnet/norm1", "cnet.norm1")
+    chans = {"layer1": 64, "layer2": 96, "layer3": 128, "layer4": 128,
+             "layer5": 128}
+    prev = 64
+    for layer in ("layer1", "layer2", "layer3", "layer4", "layer5"):
+        stride = 1 if layer == "layer1" else 2
+        ds0 = stride != 1 or prev != chans[layer]
+        _residual_ext(b, f"cnet/{layer}_0", f"cnet.{layer}.0",
+                      downsample=ds0)
+        _residual_ext(b, f"cnet/{layer}_1", f"cnet.{layer}.1")
+        prev = chans[layer]
+    b.convbn("cnet/conv2", "cnet.conv2.conv", "cnet.conv2.bn")
+    for scale in ("outputs04", "outputs08", "outputs16"):
+        for j in range(2):
+            if scale != "outputs16":
+                _residual_ext(b, f"cnet/{scale}_{j}_res",
+                              f"cnet.{scale}.{j}.0")
+                b.conv(f"cnet/{scale}_{j}_out", f"cnet.{scale}.{j}.1",
+                       bias=True)
+            else:
+                b.conv(f"cnet/{scale}_{j}_out", f"cnet.{scale}.{j}",
+                       bias=True)
+
+    # --- stems / volume --------------------------------------------------
+    b.conv("stem_2_0/Conv_0", "stem_2.0.conv")
+    b.conv("stem_2_1", "stem_2.1")
+    b.conv("proj_cmb", "proj_cmb", bias=True)
+    b.conv("corr_stem_0", "corr_stem.0", bias=True)
+    b.convbn("corr_stem_1", "corr_stem.1.conv", "corr_stem.1.bn")
+    _resnet_block3d(b, "corr_stem_2", "corr_stem.2")
+    _resnet_block3d(b, "corr_stem_3", "corr_stem.3")
+    _feature_att(b, "corr_feature_att", "corr_feature_att")
+
+    # --- hourglass -------------------------------------------------------
+    hg = "cost_agg"
+    for name in ("conv1", "conv2", "conv3"):
+        b.convbn(f"{hg}/{name}_0", f"{hg}.{name}.0.conv",
+                 f"{hg}.{name}.0.bn")
+        _conv3d_reduced(b, f"{hg}/{name}_1", f"{hg}.{name}.1")
+    for name in ("conv3_up", "conv2_up", "conv1_up"):
+        b.conv_transpose(f"{hg}/{name}/ConvTranspose_0", f"{hg}.{name}.conv")
+        b.bn(f"{hg}/{name}/BatchNorm_0", f"{hg}.{name}.bn")
+    for agg in ("agg_0", "agg_1"):
+        b.convbn(f"{hg}/{agg}_0", f"{hg}.{agg}.0.conv", f"{hg}.{agg}.0.bn")
+        _conv3d_reduced(b, f"{hg}/{agg}_1", f"{hg}.{agg}.1")
+        _conv3d_reduced(b, f"{hg}/{agg}_2", f"{hg}.{agg}.2")
+    _conv3d_reduced(b, f"{hg}/conv_out_0", f"{hg}.conv_out.0")
+    _conv3d_reduced(b, f"{hg}/conv_out_1", f"{hg}.conv_out.1")
+    for att in ("feature_att_8", "feature_att_16", "feature_att_32",
+                "feature_att_up_16", "feature_att_up_8"):
+        _feature_att(b, f"{hg}/{att}", f"{hg}.{att}")
+    b.conv(f"{hg}/conv_patch_0", f"{hg}.conv_patch.0", bias=True)
+    b.bn(f"{hg}/conv_patch_1", f"{hg}.conv_patch.1")
+    for i in range(4):
+        t = f"{hg}.atts.4.sa.{i}"
+        f = f"{hg}/att4"
+        for proj, suffix in (("q_proj", "q"), ("k_proj", "k"),
+                             ("v_proj", "v"), ("out_proj", "out")):
+            b.dense(f"{f}/sa{i}_{suffix}", f"{t}.self_attn.{proj}")
+        b.dense(f"{f}/sa{i}_lin1", f"{t}.linear1")
+        b.dense(f"{f}/sa{i}_lin2", f"{t}.linear2")
+        b.layernorm(f"{f}/sa{i}_norm1", f"{t}.norm1")
+        b.layernorm(f"{f}/sa{i}_norm2", f"{t}.norm2")
+
+    # --- classifier ------------------------------------------------------
+    b.convbn("classifier_0", "classifier.0.conv", "classifier.0.bn")
+    _resnet_block3d(b, "classifier_1", "classifier.1")
+    b.conv("classifier_2", "classifier.2", bias=True)
+
+    # --- CAM/SAM + update block + upsample -------------------------------
+    b.conv("cam/fc1", "cam.fc.0")
+    b.conv("cam/fc2", "cam.fc.2")
+    b.conv("sam/Conv_0", "sam.samconv")
+    ub, fu = "update_block", "step/update_block"
+    for name in ("convc1", "convc2", "convd1", "convd2", "conv"):
+        b.conv(f"{fu}/encoder/{name}", f"{ub}.encoder.{name}", bias=True)
+    for gru in ("gru16", "gru08", "gru04"):
+        b.conv(f"{fu}/{gru}/conv0", f"{ub}.{gru}.conv0.0", bias=True)
+        b.conv(f"{fu}/{gru}/conv1", f"{ub}.{gru}.conv1.0", bias=True)
+        for sz in ("small_gru", "large_gru"):
+            for g in ("convz", "convr", "convq"):
+                b.conv(f"{fu}/{gru}/{sz}/{g}", f"{ub}.{gru}.{sz}.{g}",
+                       bias=True)
+    b.conv(f"{fu}/disp_head_0", f"{ub}.disp_head.conv.0", bias=True)
+    for i in (2, 3):
+        t = f"{ub}.disp_head.conv.{i}"
+        f = f"{fu}/disp_head_{i}"
+        b.conv(f"{f}/dwconv", f"{t}.dwconv", bias=True)
+        b.dense(f"{f}/pwconv1", f"{t}.pwconv1")
+        b.dense(f"{f}/pwconv2", f"{t}.pwconv2")
+        b.raw(f"{f}/gamma", f"{t}.gamma")
+    b.conv(f"{fu}/disp_head_4", f"{ub}.disp_head.conv.4", bias=True)
+    b.conv(f"{fu}/mask_0", f"{ub}.mask.0", bias=True)
+    b.conv(f"{fu}/mask_2", f"{ub}.mask.2", bias=True)
+    b.conv_transpose("step/spx_2_gru_conv1/ConvTranspose_0",
+                     "spx_2_gru.conv1.conv")
+    b.conv("step/spx_2_gru_conv2/Conv_0", "spx_2_gru.conv2.conv")
+    b.conv_transpose("step/spx_gru", "spx_gru.0", bias=True)
+
+    # dead reference modules (never touched by forward):
+    # context_zqr_convs (SelectiveConvGRU takes inp directly), stem_4,
+    # cnet.down / cnet.norm (ContextNetDino defines but does not call)
+    return b.finish(expect_unused=(
+        "num_batches_tracked", "context_zqr_convs", "stem_4.", "cnet.down.",
+        "cnet.norm.", "refinenet4.resConfUnit1", "mask_token"))
+
+
+def convert_stereoanywhere(sd: dict, encoder: str = None) -> tuple[dict,
+                                                                   list]:
+    """Reference StereoAnywhere (models/StereoAnywhere/stereoanywhere.py:
+    20-331, default config) → our StereoAnywhere variables."""
+    b = _Builder(sd)
+
+    # fnet / cnet / zqr — the RAFT-style encoders (extractor.py)
+    b.conv("fnet/Conv_0", "fnet.conv1", bias=True)
+    n = 0
+    for layer, down in (("layer1", False), ("layer2", True),
+                        ("layer3", True)):
+        for blk in range(2):
+            _raft_res(b, f"fnet/RAFTResBlock_{n}", f"fnet.{layer}.{blk}",
+                      "instance", down and blk == 0)
+            n += 1
+    b.conv("fnet/Conv_1", "fnet.conv2", bias=True)
+    _convert_multi_basic_encoder(b, "cnet")
+    for i in range(3):
+        b.conv(f"context_zqr_{i}", f"context_zqr_convs.{i}", bias=True)
+
+    # mono branch: hourglass_mono (instance-norm BasicConvs are param-free
+    # except the conv kernels) + classifiers
+    hg = "hourglass_mono"
+
+    def datt(f, t):
+        b.conv(f"{hg}/{f}/left_0/Conv_0", f"{hg}.{t}.feat_att_left.0.conv")
+        b.conv(f"{hg}/{f}/left_1", f"{hg}.{t}.feat_att_left.1", bias=True)
+        b.conv(f"{hg}/{f}/right_0/Conv_0",
+               f"{hg}.{t}.feat_att_right.0.conv")
+        b.conv(f"{hg}/{f}/right_1", f"{hg}.{t}.feat_att_right.1", bias=True)
+
+    for i in range(3):
+        b.conv(f"{hg}/down{i}_0/Conv_0", f"{hg}.down_layers.{i}.0.conv")
+        b.conv(f"{hg}/down{i}_1/Conv_0", f"{hg}.down_layers.{i}.1.conv")
+        datt(f"att{i}", f"feature_atts.{i}")
+    for i in range(2):
+        for j in range(3):
+            b.conv(f"{hg}/agg{i}_{j}/Conv_0", f"{hg}.agg_layers.{i}.{j}.conv")
+        datt(f"att_up{i}", f"feature_atts_up.{i}")
+    for j in range(3):
+        b.conv(f"{hg}/final_agg_{j}/Conv_0", f"{hg}.final_agg.{j}.conv")
+    datt("final_att", "final_feature_atts_up")
+    b.conv("classifier_mono", "classifier_mono")
+    b.conv("classifier_monoconf", "classifier_monoconf")
+
+    # update block (update.py:64-197; shared convc1/convc2)
+    ub = "step"
+    for g in ("gru08", "gru16", "gru32"):
+        for c in ("convz", "convr", "convq"):
+            b.conv(f"{ub}/{g}/{c}", f"update_block.{g}.{c}", bias=True)
+    for t in ("convc1", "convc2", "convf1", "convf2"):
+        b.conv(f"{ub}/encoder/{t}", f"update_block.encoder.{t}", bias=True)
+    b.conv(f"{ub}/encoder/conv", "update_block.encoder._conv", bias=True)
+    b.conv(f"{ub}/flow_head_1", "update_block.flow_head.conv1", bias=True)
+    b.conv(f"{ub}/flow_head_2", "update_block.flow_head.conv2", bias=True)
+    b.conv(f"{ub}/mask_1", "update_block.mask.0", bias=True)
+    b.conv(f"{ub}/mask_2", "update_block.mask.2", bias=True)
+
+    # frozen DAv2 mono model
+    dino_sd = {k[len("mono_model."):]: v for k, v in sd.items()
+               if k.startswith("mono_model.")}
+    dv, dleft = convert_depth_anything_v2(dino_sd, encoder)
+    if dleft:
+        raise ValueError(f"unconsumed mono_model keys: {dleft[:5]}")
+    b.params.setdefault("mono_model", {}).update(dv["params"])
+    b.used.update("mono_model." + k for k in dino_sd)
+
+    return b.finish(expect_unused=("num_batches_tracked", ".norm3.",
+                                   "mono_model.pretrained.mask_token",
+                                   "refinenet4.resConfUnit1"))
 
 
 CONVERTERS = {
@@ -1395,6 +1698,9 @@ CONVERTERS = {
     "MonSter": convert_monster,
     "DEFOMStereo_S": convert_defom,
     "DEFOMStereo_L": convert_defom,
+    "FoundationStereo_S": convert_foundation,
+    "FoundationStereo_L": convert_foundation,
+    "StereoAnywhere": convert_stereoanywhere,
 }
 
 

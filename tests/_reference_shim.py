@@ -124,12 +124,202 @@ def _make_timm_mobilenetv2():
             return feats
 
     def create_model(name, pretrained=False, features_only=False, **kwargs):
-        if not name.startswith("mobilenetv2"):
-            raise RuntimeError(f"shim only provides mobilenetv2_100, "
-                               f"got {name!r}")
-        return MobileNetV2Features()
+        if name.startswith("mobilenetv2"):
+            return MobileNetV2Features()
+        if name == "edgenext_small":
+            return _make_timm_edgenext()()
+        raise RuntimeError(f"shim only provides mobilenetv2_100 and "
+                           f"edgenext_small, got {name!r}")
 
     return create_model
+
+
+def _make_timm_edgenext():
+    """timm-0.6.x-compatible `edgenext_small` stand-in (stem + stages only —
+    the reference FoundationStereo Feature uses just `.stem`/`.stages`,
+    extractor.py:326-328). Module/state-dict names match timm's edgenext.py
+    (stem.{0,1}, stages.{s}.downsample.{0,1}, stages.{s}.blocks.{i} with
+    conv_dw/norm/mlp.fc1/mlp.fc2/gamma for ConvBlock and convs.{j}/pos_embd.
+    token_projection/norm_xca/gamma_xca/xca.{temperature,qkv,proj}/norm/mlp/
+    gamma for SplitTransposeBlock), so published checkpoints line up.
+    edgenext_small config: depths (3,3,9,3), dims (48,96,160,304), one SDTA
+    block closing stages 1-3, kernel sizes (3,5,7,9), d2 scales (2,2,3,4),
+    Fourier pos-embedding only in stage 1."""
+    import math
+
+    import torch as _torch
+    import torch.nn as _nn
+    import torch.nn.functional as _F
+
+    class LayerNorm2d(_nn.LayerNorm):
+        def __init__(self, ch, eps=1e-6):
+            super().__init__(ch, eps=eps)
+
+        def forward(self, x):
+            return _F.layer_norm(
+                x.permute(0, 2, 3, 1), self.normalized_shape, self.weight,
+                self.bias, self.eps).permute(0, 3, 1, 2)
+
+    class Mlp(_nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = _nn.Linear(dim, hidden)
+            self.act = _nn.GELU()
+            self.fc2 = _nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class PositionalEncodingFourier(_nn.Module):
+        def __init__(self, hidden_dim=32, dim=768, temperature=10000):
+            super().__init__()
+            self.token_projection = _nn.Conv2d(hidden_dim * 2, dim, 1)
+            self.scale = 2 * math.pi
+            self.temperature = temperature
+            self.hidden_dim = hidden_dim
+            self.eps = 1e-6
+
+        def forward(self, shape):
+            b, h, w = shape
+            ones = _torch.ones(b, h, w)
+            y = ones.cumsum(1) / (h + self.eps) * self.scale
+            x = ones.cumsum(2) / (w + self.eps) * self.scale
+            dim_t = _torch.arange(self.hidden_dim, dtype=_torch.float32)
+            dim_t = self.temperature ** (
+                2 * _torch.div(dim_t, 2, rounding_mode="floor")
+                / self.hidden_dim)
+            px = x[:, :, :, None] / dim_t
+            py = y[:, :, :, None] / dim_t
+            px = _torch.stack((px[..., 0::2].sin(), px[..., 1::2].cos()),
+                              dim=4).flatten(3)
+            py = _torch.stack((py[..., 0::2].sin(), py[..., 1::2].cos()),
+                              dim=4).flatten(3)
+            pos = _torch.cat((py, px), dim=3).permute(0, 3, 1, 2)
+            return self.token_projection(pos)
+
+    class CrossCovarianceAttn(_nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=True):
+            super().__init__()
+            self.num_heads = num_heads
+            self.temperature = _nn.Parameter(_torch.ones(num_heads, 1, 1))
+            self.qkv = _nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = _nn.Linear(dim, dim)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(
+                b, n, 3, self.num_heads, -1).permute(2, 0, 3, 4, 1)
+            q, k, v = qkv.unbind(0)  # [B, heads, hd, N]
+            attn = (_F.normalize(q, dim=-1)
+                    @ _F.normalize(k, dim=-1).transpose(-2, -1)
+                    ) * self.temperature
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).permute(0, 3, 1, 2).reshape(b, n, c)
+            return self.proj(x)
+
+    class ConvBlock(_nn.Module):
+        def __init__(self, dim, kernel_size=7, ls_init_value=1e-6,
+                     expand_ratio=4):
+            super().__init__()
+            self.conv_dw = _nn.Conv2d(dim, dim, kernel_size, 1,
+                                      kernel_size // 2, groups=dim)
+            self.norm = _nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, expand_ratio * dim)
+            self.gamma = _nn.Parameter(ls_init_value * _torch.ones(dim))
+
+        def forward(self, x):
+            shortcut = x
+            x = self.conv_dw(x).permute(0, 2, 3, 1)
+            x = self.gamma * self.mlp(self.norm(x))
+            return shortcut + x.permute(0, 3, 1, 2)
+
+    class SplitTransposeBlock(_nn.Module):
+        def __init__(self, dim, num_scales=2, num_heads=8, expand_ratio=4,
+                     use_pos_emb=False, ls_init_value=1e-6):
+            super().__init__()
+            width = max(int(math.ceil(dim / num_scales)),
+                        int(math.floor(dim // num_scales)))
+            self.width = width
+            self.convs = _nn.ModuleList([
+                _nn.Conv2d(width, width, 3, 1, 1, groups=width)
+                for _ in range(max(1, num_scales - 1))])
+            self.pos_embd = PositionalEncodingFourier(dim=dim) \
+                if use_pos_emb else None
+            self.norm_xca = _nn.LayerNorm(dim, eps=1e-6)
+            self.gamma_xca = _nn.Parameter(ls_init_value * _torch.ones(dim))
+            self.xca = CrossCovarianceAttn(dim, num_heads=num_heads)
+            self.norm = _nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, expand_ratio * dim)
+            self.gamma = _nn.Parameter(ls_init_value * _torch.ones(dim))
+
+        def forward(self, x):
+            shortcut = x
+            b, c, h, w = x.shape
+            spx = x.chunk(len(self.convs) + 1, dim=1)
+            spo, sp = [], spx[0]
+            for i, conv in enumerate(self.convs):
+                if i > 0:
+                    sp = sp + spx[i]
+                sp = conv(sp)
+                spo.append(sp)
+            spo.append(spx[-1])
+            x = _torch.cat(spo, 1)
+
+            x = x.reshape(b, c, h * w).permute(0, 2, 1)
+            if self.pos_embd is not None:
+                pos = self.pos_embd((b, h, w)).reshape(
+                    b, -1, x.shape[1]).permute(0, 2, 1)
+                x = x + pos
+            x = x + self.gamma_xca * self.xca(self.norm_xca(x))
+            x = x.reshape(b, h, w, c)
+            x = self.gamma * self.mlp(self.norm(x))
+            return shortcut + x.permute(0, 3, 1, 2)
+
+    class EdgeNeXtStage(_nn.Module):
+        def __init__(self, in_chs, out_chs, stride, depth, global_blocks,
+                     num_heads, scales, kernel_size, use_pos_emb):
+            super().__init__()
+            if stride == 1:
+                self.downsample = _nn.Identity()
+            else:
+                self.downsample = _nn.Sequential(
+                    LayerNorm2d(in_chs),
+                    _nn.Conv2d(in_chs, out_chs, 2, 2))
+            blocks = []
+            for i in range(depth):
+                if i < depth - global_blocks:
+                    blocks.append(ConvBlock(out_chs, kernel_size))
+                else:
+                    blocks.append(SplitTransposeBlock(
+                        out_chs, scales, num_heads,
+                        use_pos_emb=use_pos_emb))
+            self.blocks = _nn.Sequential(*blocks)
+
+        def forward(self, x):
+            return self.blocks(self.downsample(x))
+
+    class EdgeNeXt(_nn.Module):
+        def __init__(self, dims=(48, 96, 160, 304), depths=(3, 3, 9, 3),
+                     global_block_counts=(0, 1, 1, 1),
+                     kernel_sizes=(3, 5, 7, 9), heads=(8, 8, 8, 8),
+                     d2_scales=(2, 2, 3, 4),
+                     use_pos_emb=(False, True, False, False)):
+            super().__init__()
+            self.stem = _nn.Sequential(
+                _nn.Conv2d(3, dims[0], 4, 4), LayerNorm2d(dims[0]))
+            stages, cin = [], dims[0]
+            for s in range(4):
+                stages.append(EdgeNeXtStage(
+                    cin, dims[s], 1 if s == 0 else 2, depths[s],
+                    global_block_counts[s], heads[s], d2_scales[s],
+                    kernel_sizes[s], use_pos_emb[s]))
+                cin = dims[s]
+            self.stages = _nn.Sequential(*stages)
+
+        def forward(self, x):
+            return self.stages(self.stem(x))
+
+    return EdgeNeXt
 
 
 def import_reference_models():
@@ -159,9 +349,22 @@ def import_reference_models():
     _stub("timm.models.layers", DropPath=_nn.Identity,
           trunc_normal_=lambda *a, **k: None)
 
-    # flash_attn: FoundationStereo submodule.py imports names from it.
+    # flash_attn: FoundationStereo submodule.py imports names from it and
+    # CALLS flash_attn_func inside CostVolumeDisparityAttention
+    # (submodule.py:198-230) — provide exact plain-torch attention.
+    # flash_attn_func signature: q/k/v are (B, L, nheads, headdim); returns
+    # the same layout; softmax scale 1/sqrt(headdim); window (-1,-1) = full.
+    def _flash_attn_func(q, k, v, dropout_p=0.0, softmax_scale=None,
+                         causal=False, window_size=(-1, -1), **kw):
+        assert not causal and tuple(window_size) == (-1, -1)
+        scale = softmax_scale or q.shape[-1] ** -0.5
+        qf, kf, vf = (t.transpose(1, 2).float() for t in (q, k, v))
+        attn = (qf @ kf.transpose(-2, -1)) * scale  # [B, H, L, L]
+        out = attn.softmax(dim=-1) @ vf
+        return out.transpose(1, 2).to(q.dtype)
+
     fa = _stub("flash_attn")
-    fa.flash_attn_func = _getattr_raiser("flash_attn.flash_attn_func")
+    fa.flash_attn_func = _flash_attn_func
     fa.flash_attn_qkvpacked_func = _getattr_raiser("flash_attn")
 
     # xformers: optional in DINOv2 layers behind `try: import` guards. Do
@@ -266,11 +469,23 @@ def import_reference_models():
     tv_densenet._DenseLayer = _DenseLayer
     tv_models.densenet = tv_densenet
 
-    # omegaconf: FoundationStereo config plumbing (import-time only here).
+    # omegaconf: FoundationStereo config plumbing. The model reads the
+    # config by attribute (args.corr_radius), subscript (cfg['max_disp'])
+    # AND .get(key, default) — provide a dict with attribute access.
+    class _AttrDict(dict):
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError as e:
+                raise AttributeError(name) from e
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
     class _OmegaConf:
         @staticmethod
         def create(obj=None, **k):
-            return obj
+            return _AttrDict(obj or {})
 
         @staticmethod
         def load(path):
@@ -289,10 +504,47 @@ def import_reference_models():
 
     _stub("omegaconf", OmegaConf=_OmegaConf, DictConfig=dict)
 
-    # kornia: StereoAnywhere utils import spatial_gradient.
+    # torch.hub: FoundationStereo's DPT_DINOv2 loads the DINOv2 trunk via
+    # torch.hub.load('facebookresearch/dinov2', 'dinov2_<size>14')
+    # (FoundationStereo/depth_anything/dpt.py:157). Build it offline from
+    # the package's own vendored dinov2 tree with the hub's exact kwargs
+    # (img_size=518, patch_size=14, init_values=1.0, block_chunks=0).
+    import torch as _torch2
+
+    _orig_hub_load = _torch2.hub.load
+
+    def _hub_load(repo, model, *a, **k):
+        if "dinov2" in str(repo):
+            import importlib
+            vt = importlib.import_module(
+                "stereo_toolbox.models.FoundationStereo.dinov2.models"
+                ".vision_transformer")
+            arch = {"dinov2_vits14": vt.vit_small,
+                    "dinov2_vitb14": vt.vit_base,
+                    "dinov2_vitl14": vt.vit_large}[model]
+            return arch(img_size=518, patch_size=14, init_values=1.0,
+                        ffn_layer="mlp", block_chunks=0,
+                        num_register_tokens=0, interpolate_antialias=False,
+                        interpolate_offset=0.1)
+        return _orig_hub_load(repo, model, *a, **k)
+
+    _torch2.hub.load = _hub_load
+
+    # kornia: StereoAnywhere's estimate_normals calls
+    # spatial_gradient(depth, mode='diff', order=1, normalized=False) at
+    # runtime (StereoAnywhere/utils/utils.py:74-80). Faithful stand-in:
+    # central differences (the 3×3 'diff' kernel), replicate-padded
+    # borders, output (B, C, 2, H, W) with dx first.
+    def _spatial_gradient(inp, mode="diff", order=1, normalized=False):
+        assert mode == "diff" and order == 1 and not normalized
+        b, c, h, w = inp.shape
+        x = _nn.functional.pad(inp, (1, 1, 1, 1), mode="replicate")
+        dx = (x[:, :, 1:-1, 2:] - x[:, :, 1:-1, :-2]) / 2.0
+        dy = (x[:, :, 2:, 1:-1] - x[:, :, :-2, 1:-1]) / 2.0
+        return _torch.stack([dx, dy], dim=2)
+
     _stub("kornia")
-    _stub("kornia.filters",
-          spatial_gradient=_getattr_raiser("kornia.filters.spatial_gradient"))
+    _stub("kornia.filters", spatial_gradient=_spatial_gradient)
 
     # transformations (pip pkg for homogeneous transforms): star-imported by
     # FoundationStereo/Utils.py, unused by the forward paths we exercise.

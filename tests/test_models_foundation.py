@@ -83,7 +83,8 @@ def test_foundation_stereo_hierarchical():
 def test_stereoanywhere():
     from stereo_toolbox_tpu.models import StereoAnywhere
     left, right = _inputs(h=32, w=64)
-    model = StereoAnywhere(train_iters=2, valid_iters=2, corr_levels=2)
+    model = StereoAnywhere(encoder="vits", train_iters=2,
+                           valid_iters=2, corr_levels=2)
     variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
     pred = model.apply(variables, left, right, train=False,
                        mutable=["batch_stats"])[0]
@@ -97,8 +98,8 @@ def test_stereoanywhere_vol_downsample():
     finiteness preserved."""
     from stereo_toolbox_tpu.models import StereoAnywhere
     left, right = _inputs(h=32, w=64)
-    model = StereoAnywhere(train_iters=2, valid_iters=2, corr_levels=2,
-                           vol_downsample=1)
+    model = StereoAnywhere(encoder="vits", train_iters=2, valid_iters=2,
+                           corr_levels=2, vol_downsample=1)
     variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
     pred = model.apply(variables, left, right, train=False,
                        mutable=["batch_stats"])[0]

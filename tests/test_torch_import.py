@@ -387,7 +387,8 @@ def test_sttr_parity(ref_models):
 @pytest.mark.parametrize("name,kwargs", [
     ("MonSter", {"train_iters": 2, "valid_iters": 2}),
     ("FoundationStereo_S", {"train_iters": 2, "valid_iters": 2}),
-    ("StereoAnywhere", {"train_iters": 2, "valid_iters": 2}),
+    ("StereoAnywhere", {"train_iters": 2, "valid_iters": 2,
+                        "encoder": "vits"}),
 ])
 def test_graft_dav2_other_foundation_models(ref_models, name, kwargs):
     """Every foundation-tier model's DAv2 scope accepts a converted trunk
@@ -458,6 +459,91 @@ def test_monster_parity(ref_models):
     # upsample and the REMP residual double it again — so the gate here is
     # relative: ~0.2-0.3% of the ~90 px mean disparity.
     scale = np.abs(t).mean()
+    assert np.abs(p - t).mean() / scale < 5e-3, (
+        np.abs(p - t).mean(), scale)
+    assert np.quantile(np.abs(p - t), 0.99) / scale < 2e-2
+
+
+def test_stereoanywhere_parity(ref_models):
+    """StereoAnywhere (reference models/StereoAnywhere/stereoanywhere.py:
+    20-331): frozen DAv2 mono depths, per-depth-bin masked normal-map
+    volume, instance-norm hourglass with DoubleFeatureAtt gates, mirror
+    truncation, dual-corr GRU refinement. The kornia spatial_gradient and
+    torchvision deform_conv2d dependencies come from _reference_shim
+    stand-ins (the reference never enables its DCN — no dcn=True call
+    site)."""
+    from types import SimpleNamespace
+    from unittest import mock
+    from stereo_toolbox_tpu.models import StereoAnywhere
+
+    x, y = _stereo_pair(64, 96, seed=19)
+    torch.manual_seed(19)
+    import importlib
+    dpt_mod = importlib.import_module(
+        "stereo_toolbox.models.depth_anything_v2.dpt")
+    dav2_sd = dpt_mod.DepthAnythingV2(**_dav2_vits_cfg()).state_dict()
+    # a randomly-init DAv2 relu's its depth head to ~zero with ~0.006 std;
+    # the reference's (x-min)/(max-min) normalization (stereoanywhere.py:
+    # 126) then amplifies cross-framework float noise ~150× (or NaNs
+    # outright when the output is exactly constant). Re-scale the final
+    # head conv so the synthetic depth has an honest dynamic range.
+    dav2_sd["depth_head.scratch.output_conv2.2.weight"] *= 50.0
+    dav2_sd["depth_head.scratch.output_conv2.2.bias"] += 0.5
+    args = SimpleNamespace(loadmonomodel="depth_anything_v2_vits.pth",
+                           train_iters=3, valid_iters=3)
+    with mock.patch("torch.load", return_value=dav2_sd):
+        m = ref_models.StereoAnywhere(args)
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("StereoAnywhere",
+                        StereoAnywhere(encoder="vits", train_iters=3,
+                                       valid_iters=3),
+                        sd, x, y)[0]
+
+    assert p.shape == t.shape
+    # Looser gate than the other families (1% vs 0.5% of the mean |disp|):
+    # StereoAnywhere's scale/shift path quantile-MASKS pixels
+    # (utils.py:361-368) and gates with step_gain=20 sigmoids
+    # (utils.py:255-270) — borderline quantile membership flips under
+    # framework float noise and the sharp gates amplify it, an instability
+    # of the random-weight test point rather than a modeling difference
+    # (every submodule verified during bring-up; the dino head's
+    # align_corners=False resize was found exactly this way).
+    scale = max(np.abs(t).mean(), 1.0)
+    assert np.abs(p - t).mean() / scale < 1e-2, (
+        np.abs(p - t).mean(), scale)
+    assert np.quantile(np.abs(p - t), 0.99) / scale < 3e-2
+
+
+def test_foundation_parity(ref_models):
+    """FoundationStereo (reference models/FoundationStereo/
+    foundation_stereo.py:128-292): EdgeNeXt-small + frozen DepthAnything
+    trunk, 28-ch attentive cost volume, selective GRU refinement. The timm
+    `edgenext_small` and `flash_attn` dependencies come from
+    tests/_reference_shim.py stand-ins whose parameter count reproduces the
+    published 62.34M/37.55M exactly (BASELINE.md Table 3).
+
+    224×224: divisible by 112 (the dino resize is then the identity, so
+    the bicubic-kernel difference between frameworks never engages) and by
+    32 (the hourglass/ InputPadder granularity)."""
+    import argparse
+    from stereo_toolbox_tpu.models import FoundationStereo_S
+
+    x, y = _stereo_pair(224, 224, seed=17)
+    torch.manual_seed(17)
+    m = ref_models.FoundationStereo(argparse.Namespace(
+        vit_size="vits", max_disp=64, valid_iters=3, train_iters=3))
+    t = _settle_bn_and_eval(m, x, y).numpy()[0, 0]
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = _import_and_run("FoundationStereo_S",
+                        FoundationStereo_S(max_disp=64, valid_iters=3,
+                                           train_iters=3),
+                        sd, x, y)[0]
+
+    assert p.shape == t.shape
+    scale = max(np.abs(t).mean(), 1.0)
     assert np.abs(p - t).mean() / scale < 5e-3, (
         np.abs(p - t).mean(), scale)
     assert np.quantile(np.abs(p - t), 0.99) / scale < 2e-2
