@@ -1,28 +1,36 @@
-"""StereoAnywhere (CVPR'25) — volume-level fusion of stereo and mono priors.
+"""StereoAnywhere (CVPR'25) — stereo branch fused with a frozen DAv2 mono
+branch at the volume level.
 
-TPU-native re-design of models/StereoAnywhere/stereoanywhere.py:
-  * frozen DepthAnythingV2 mono depths, jointly normalized to [0,1]
-    (stereoanywhere.py:122-127);
-  * normal-map correlation volume from mono depth gradients
-    (utils.py:73-77, ×1.73 — stereoanywhere.py:167-168);
-  * depth-binned masks gate the stereo all-pairs volume; both volumes are
-    aggregated by mono-guided 3D hourglasses over (H, W, W')
-    (stereoanywhere.py:170-201, hourglass.py — compacted here to a 2-level
-    gated encoder-decoder);
-  * soft-argmax left/right disparities + entropy confidences + soft LRC
-    (utils.py:112-198) feed a confidence-weighted least-squares scale/shift
-    of the mono depth (stereoanywhere.py:218-229), which initializes the
-    RAFT recurrence (stereoanywhere.py:293-294);
-  * GRU loop with DUAL lookups into the aggregated stereo and mono volumes
-    (stereoanywhere.py:299-325).
+Faithful TPU-native rebuild of models/StereoAnywhere/stereoanywhere.py
+(round 5 — replaces the round-4 compacted hourglass so published
+checkpoints import and pixelwise parity holds):
+  * frozen DAv2 mono depths via the MiDaS 'lower_bound' 518-snap resize
+    (depth_anything_v2/dpt.py:188-238, exact torch-bicubic kernel) and a
+    global min/max normalization over both views;
+  * normal-map mono correlation volume (utils.py:73-77, 271-284) and a
+    plain stereo correlation volume from RAFT-style fnet features;
+  * per-depth-bin masked volumes: ``vol · mask_l[n] ⊗ mask_r[n]`` gives an
+    8-channel (H, W, W') volume (stereoanywhere.py:192);
+  * `Hourglass` aggregation over the (W', H, W) permutation with
+    `DoubleFeatureAtt` gates from a 4-scale mono-depth pyramid
+    (hourglass.py:13-104, submodule.py:113-140) — instance-norm BasicConv
+    (LeakyReLU) throughout;
+  * disparity/confidence classifiers, entropy confidences, softLRC with
+    the reference's (W−1)/W grid-sample scale (utils.py:174-200), the
+    quantile-masked weighted least squares scale/shift (utils.py:345-384),
+    and the handcrafted mirror detector + volume truncation
+    (utils.py:225-270, `use_truncate_vol=True` default);
+  * RAFT-style GRU refinement over BOTH corr pyramids (truncated stereo +
+    aggregated mono) with a shared motion-conv encoder (update.py:64-91)
+    and convex upsampling.
 
-Deviations (documented): the train-time volume-corruption augmentations
-(stereoanywhere.py:249-283) and the handcrafted mirror detector / volume
-truncation (:233-237) are not reproduced. Deformable conv is available
-(nn/dcn.py `DeformableConv2d`, ops/dcn.py, switchable via
-``BasicConvBN(dcn=True)``) with the same off-by-default semantics as the
-reference — no reference config ever passes ``dcn=True``
-(StereoAnywhere/submodule.py:44-47 has no enabling call site).
+Inputs follow the reference verbatim: ``img·2 − 1`` on the toolbox's
+ImageNet-normalized tensors (stereoanywhere.py:136), the mono model
+consuming the un-scaled input.
+
+Contract: train → list of `iters` full-res disparity maps; eval → final
+map (the reference's auxiliary coarse outputs are exposed via
+`return_aux=True`).
 """
 
 from __future__ import annotations
@@ -35,23 +43,26 @@ import jax
 import jax.numpy as jnp
 
 from stereo_toolbox_tpu import ops
-from stereo_toolbox_tpu.models.depth_anything_v2 import (PATCH,
-                                                         DepthAnythingV2)
-from stereo_toolbox_tpu.models.raft_stereo import (IMAGENET_MEAN,
-                                                   IMAGENET_STD,
-                                                   BasicEncoder,
+from stereo_toolbox_tpu.models.depth_anything_v2 import DepthAnythingV2
+from stereo_toolbox_tpu.models.raft_stereo import (BasicEncoder,
                                                    MultiBasicEncoder)
 from stereo_toolbox_tpu.nn.gru import ConvGRU, pool2x
-from stereo_toolbox_tpu.nn.igev_blocks import BasicConvBN
+from stereo_toolbox_tpu.nn.igev_blocks import BasicConvIN
 from stereo_toolbox_tpu.ops.corr import (all_pairs_correlation,
                                          build_corr_pyramid, corr_lookup_1d)
 
 
+# --------------------------------------------------------------------------
+# utils.py ports
+# --------------------------------------------------------------------------
+
 def estimate_normals(depth: jax.Array, gain: float) -> jax.Array:
-    """Pseudo normals from depth gradients (utils.py:73-77). [B,H,W]→[B,H,W,3]."""
+    """Pseudo normals from depth gradients (utils.py:73-77): kornia 'diff'
+    central differences with replicate borders. [B,H,W]→[B,H,W,3]."""
     d = depth * gain
-    gx = jnp.pad(d[:, :, 2:] - d[:, :, :-2], ((0, 0), (0, 0), (1, 1))) / 2
-    gy = jnp.pad(d[:, 2:] - d[:, :-2], ((0, 0), (1, 1), (0, 0))) / 2
+    dp = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    gx = (dp[:, 1:-1, 2:] - dp[:, 1:-1, :-2]) / 2.0
+    gy = (dp[:, 2:, 1:-1] - dp[:, :-2, 1:-1]) / 2.0
     n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
@@ -82,41 +93,85 @@ def estimate_right_disparity(vol: jax.Array) -> jax.Array:
 
 
 def entropy_confidence(vol: jax.Array, axis: int) -> jax.Array:
-    """1 - normalized entropy (utils.py:154-170)."""
+    """1 - normalized entropy (utils.py:154-172)."""
     prob = jax.nn.softmax(vol, axis=axis)
     ent = -(prob * jnp.log2(prob + 1e-6)).sum(axis)
     return 1.0 - ent / math.log2(vol.shape[axis])
 
 
+def _disp_warp(disp: jax.Array, img: jax.Array,
+               right_disp: bool = False) -> jax.Array:
+    """utils.py:174-190 `disp_warping`: grid_sample align_corners=True on a
+    ``2·(x±d)/W − 1`` grid — i.e. sample position ``(x±d)·(W−1)/W``, zeros
+    outside. disp/img: [B, H, W]."""
+    from stereo_toolbox_tpu.ops.sampling import sample_1d
+    b, h, w = disp.shape
+    x = jnp.arange(w, dtype=disp.dtype)[None, None, :]
+    pos = (x + disp) if right_disp else (x - disp)
+    pos = pos * ((w - 1) / w)
+    return sample_1d(img, pos)  # img [B,H,W] sampled along W
+
+
 def softlrc(disp2, disp3, lrc_th: float = 1.0):
-    """Soft left-right consistency weights (utils.py:189-198)."""
-    from stereo_toolbox_tpu.ops.sampling import bilinear_sampler, coords_grid
-    b, h, w = disp2.shape
+    """Soft left-right consistency weights (utils.py:192-200)."""
     div = math.log(1 + math.exp(lrc_th))
-    grid = coords_grid(b, h, w)
-    # warp disp3 into the left view (sample right at x - d2)
-    c2 = grid.at[..., 0].add(-jnp.maximum(disp2, 0))
-    warped3 = bilinear_sampler(disp3[..., None], c2)[..., 0]
-    # warp disp2 into the right view (sample left at x + d3)
-    c3 = grid.at[..., 0].add(jnp.maximum(disp3, 0))
-    warped2 = bilinear_sampler(disp2[..., None], c3)[..., 0]
+    warped2 = _disp_warp(nn.relu(disp3), disp2, right_disp=True)
+    warped3 = _disp_warp(nn.relu(disp2), disp3, right_disp=False)
     s2 = jax.nn.softplus(-jnp.abs(disp2 - warped3) + lrc_th) / div
     s3 = jax.nn.softplus(-jnp.abs(disp3 - warped2) + lrc_th) / div
     return s2, s3
 
 
-def weighted_lsq(mde, disp, conf):
-    """Confidence-weighted scale/shift (stereoanywhere.py:223-229).
-    mde/disp/conf: [B, H, W] (already pooled over views by concatenation).
-    The 2×2 solve must run in f32 — XLA's LuDecomposition has no bf16
-    kernel on TPU (seen as a compile failure at bench time)."""
+def fuzzy_and(x, y):
+    return x * y
+
+
+def fuzzy_or(x, y):
+    return x + y - x * y
+
+
+def mirror_detector(stereo_disp, mono_disp, stereo_conf, mono_conf,
+                    conf_th: float = 0.5, step_gain: float = 20.0):
+    """handcrafted_mirror_detector (utils.py:255-270)."""
+    both = fuzzy_and(stereo_conf, mono_conf)
+    mono_near = jax.nn.sigmoid(step_gain * (mono_disp - stereo_disp))
+    a = fuzzy_and(both, mono_near)
+    b = fuzzy_and(1.0 - stereo_conf, mono_conf)
+    better = fuzzy_or(a, b)
+    return jax.nn.sigmoid(step_gain * (better - conf_th))
+
+
+def truncate_corr_volume(disp_left, conf_left,
+                         attenuation_gain: float = 0.9) -> jax.Array:
+    """truncate_corr_volume_v2 (utils.py:225-253, conf_th=None path):
+    attenuate matches right of the expected correspondence. [B,H,W] →
+    [B,H,W,W']."""
+    b, h, w = disp_left.shape
+    x = jnp.arange(w, dtype=disp_left.dtype)[None, None, :, None]
+    dv = jnp.arange(w, dtype=disp_left.dtype)[None, None, None, :]
+    center = x - disp_left[..., None]
+    t = center - dv
+    conf = conf_left[..., None]
+    return (1.0 - conf) + conf * (
+        jax.nn.sigmoid(t) * (1.0 - attenuation_gain) + attenuation_gain)
+
+
+def weighted_lsq(mde, disp, conf, min_q: float = 0.2, max_q: float = 0.9):
+    """Quantile-masked, confidence-weighted least squares scale/shift
+    (utils.py:345-384): minimize Σ w·(s·|mde| + t − |relu(disp)|)² with
+    w = 0.9·|conf| + 0.1 over disp's [q20, q90] per image, via the normal
+    equations (≡ torch.linalg.lstsq with √w-scaled rows)."""
     def per_image(m, d, c):
-        w = c.reshape(-1).astype(jnp.float32)
-        x = m.reshape(-1).astype(jnp.float32)
-        y = d.reshape(-1).astype(jnp.float32)
-        sw = w.sum() + 1e-6
+        d = nn.relu(d.reshape(-1).astype(jnp.float32))
+        lo = jnp.quantile(d, min_q)
+        hi = jnp.quantile(d, max_q)
+        keep = ((d >= lo) & (d <= hi)).astype(jnp.float32)
+        x = jnp.abs(m.reshape(-1).astype(jnp.float32))
+        y = jnp.abs(d)
+        w = (jnp.abs(c.reshape(-1).astype(jnp.float32)) * 0.9 + 0.1) * keep
+        sw = w.sum() + 1e-8
         sx = (w * x).sum()
-        sxx = (w * x * x).sum() + 1e-6
+        sxx = (w * x * x).sum() + 1e-8
         sy = (w * y).sum()
         sxy = (w * x * y).sum()
         a = jnp.array([[sxx, sx], [sx, sw]])
@@ -128,59 +183,112 @@ def weighted_lsq(mde, disp, conf):
     return s[:, None, None], t[:, None, None]
 
 
-class VolumeHourglass(nn.Module):
-    """Mono-guided 3D hourglass over a (H, W, W') volume
-    (compacted from models/StereoAnywhere/hourglass.py)."""
-    features: int = 8
-    out_channels: int = 1
+# --------------------------------------------------------------------------
+# hourglass.py / submodule.py ports
+# --------------------------------------------------------------------------
+
+class DoubleFeatureAtt(nn.Module):
+    """submodule.py:113-140: sigmoid gates from left/right 1-ch depth
+    features, outer-product broadcast over the (W', H, W) volume, trilinear
+    resize to the volume's scale."""
+    cv_chan: int
+    kernel: int = 3
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, vol, fl, fr, train: bool = False):
-        # vol: [B, H, W, W', 1]; fl/fr: [B, H, W] mono depths at volume res
+    def __call__(self, cv, feat_left, feat_right):
+        # cv: [B, W3, H, W2, C]; feats: [B, h, w, Cf]
+        cf = feat_left.shape[-1]
+        mid = max(32, cf // 2)
+        al = BasicConvIN(mid, self.kernel, 1, dtype=self.dtype,
+                         name="left_0")(feat_left)
+        al = nn.Conv(self.cv_chan, (1, 1), dtype=self.dtype,
+                     name="left_1")(al)
+        ar = BasicConvIN(mid, self.kernel, 1, dtype=self.dtype,
+                         name="right_0")(feat_right)
+        ar = nn.Conv(self.cv_chan, (1, 1), dtype=self.dtype,
+                     name="right_1")(ar)
+        # [B, 1, h, w, C] ⊙ [B, w, h, 1, C] → [B, w, h, w, C]
+        g = jax.nn.sigmoid(al)[:, None] * \
+            jax.nn.sigmoid(ar).transpose(0, 2, 1, 3)[:, :, :, None]
+        if g.shape[1:4] != cv.shape[1:4]:
+            g = ops.interpolate(g, cv.shape[1:4], (1, 2, 3),
+                                align_corners=True)
+        return g * cv
+
+
+class SAHourglass(nn.Module):
+    """hourglass.py Hourglass: 4-scale encoder/decoder over the permuted
+    (W', H, W) volume with instance-norm BasicConvs and DoubleFeatureAtt
+    at every scale. `features` are the 1-channel mono-depth pyramid maps
+    at 1/4..1/32."""
+    in_channels: int = 8
+    out_channels: int = 8
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, feats_l, feats_r):
+        # x: [B, H, W2, W3, C] natural layout → permute to [B, W3, H, W2, C]
         dt = self.dtype
-        gate_in = jnp.concatenate(
-            [jnp.broadcast_to(fl[..., None, None], vol.shape[:4] + (1,)),
-             jnp.broadcast_to(fr[:, :, None, :, None],
-                              vol.shape[:4] + (1,))], -1)
-        gate = jax.nn.sigmoid(nn.Conv(self.features, (1, 1, 1),
-                                      dtype=dt)(gate_in))
-        x = BasicConvBN(self.features, 3, 1, dtype=dt)(vol, train) * gate
-        d1 = BasicConvBN(self.features * 2, 3, 2, dtype=dt)(x, train)
-        d1 = BasicConvBN(self.features * 2, 3, 1, dtype=dt)(d1, train)
-        d2 = BasicConvBN(self.features * 4, 3, 2, dtype=dt)(d1, train)
-        d2 = BasicConvBN(self.features * 4, 3, 1, dtype=dt)(d2, train)
-        u1 = BasicConvBN(self.features * 2, 4, 2, deconv=True,
-                         dtype=dt)(d2, train)
-        u1 = BasicConvBN(self.features * 2, 3, 1, dtype=dt)(
-            u1 + d1, train)
-        u0 = BasicConvBN(self.features, 4, 2, deconv=True,
-                         dtype=dt)(u1, train)
-        u0 = BasicConvBN(self.features, 3, 1, dtype=dt)(u0 + x, train)
-        return nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
-                       use_bias=False, dtype=dt)(u0)
+        x = x.transpose(0, 3, 1, 2, 4)
+        original = x
+        n_scales = 4
+        down = []
+        for i in range(n_scales - 1):
+            cout = self.in_channels * 2 * (i + 1)  # 16, 32, 48
+            x = BasicConvIN(cout, 3, 2, dtype=dt, name=f"down{i}_0")(x)
+            x = BasicConvIN(cout, 3, 1, dtype=dt, name=f"down{i}_1")(x)
+            x = DoubleFeatureAtt(cout, dtype=dt, name=f"att{i}")(
+                x, feats_l[i + 1], feats_r[i + 1])
+            down.append(x)
+
+        for i in range(n_scales - 2):
+            skip = down[n_scales - 3 - i]
+            cout = skip.shape[-1]
+            xu = ops.interpolate(x, skip.shape[1:4], (1, 2, 3),
+                                 align_corners=True)
+            x = jnp.concatenate([xu, skip], axis=-1)
+            x = BasicConvIN(cout, 1, 1, dtype=dt, name=f"agg{i}_0")(x)
+            x = BasicConvIN(cout, 3, 1, dtype=dt, name=f"agg{i}_1")(x)
+            x = BasicConvIN(cout, 3, 1, dtype=dt, name=f"agg{i}_2")(x)
+            x = DoubleFeatureAtt(cout, dtype=dt, name=f"att_up{i}")(
+                x, feats_l[n_scales - 2 - i], feats_r[n_scales - 2 - i])
+
+        xu = ops.interpolate(x, original.shape[1:4], (1, 2, 3),
+                             align_corners=True)
+        x = jnp.concatenate([original, xu], axis=-1)
+        x = BasicConvIN(self.in_channels, 1, 1, dtype=dt,
+                        name="final_agg_0")(x)
+        x = BasicConvIN(self.in_channels, 3, 1, dtype=dt,
+                        name="final_agg_1")(x)
+        x = BasicConvIN(self.out_channels, 3, 1, dtype=dt,
+                        name="final_agg_2")(x)
+        x = DoubleFeatureAtt(self.out_channels, dtype=dt,
+                             name="final_att")(x, feats_l[0], feats_r[0])
+        return x.transpose(0, 2, 3, 1, 4)  # back to [B, H, W2, W3, C]
 
 
-class DualMotionEncoder(nn.Module):
-    """Motion features from stereo + mono lookups (StereoAnywhere update)."""
+class SAMotionEncoder(nn.Module):
+    """BasicMotionEncoder (update.py:64-91): convc1/convc2 SHARED between
+    the stereo and mono correlation features."""
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, flow, corr_s, corr_m):
         dt = self.dtype
-
-        def enc(c, tag):
-            c = nn.relu(nn.Conv(64, (1, 1), dtype=dt, name=f"c1{tag}")(c))
-            return nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=dt,
-                                   name=f"c2{tag}")(c))
-
-        cs = enc(corr_s, "s")
-        cm = enc(corr_m, "m")
-        f = nn.relu(nn.Conv(64, (7, 7), padding="SAME", dtype=dt)(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=dt)(f))
-        out = nn.relu(nn.Conv(126, (3, 3), padding="SAME", dtype=dt)(
-            jnp.concatenate([cs, cm, f], -1)))
-        return jnp.concatenate([out, flow], -1)
+        c1 = nn.Conv(64, (1, 1), dtype=dt, name="convc1")
+        c2 = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                     name="convc2")
+        cs = nn.relu(c2(nn.relu(c1(corr_s))))
+        cm = nn.relu(c2(nn.relu(c1(corr_m))))
+        f = nn.relu(nn.Conv(64, (7, 7), padding=((3, 3), (3, 3)), dtype=dt,
+                            name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), dtype=dt,
+                            name="convf2")(f))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=((1, 1), (1, 1)),
+                              dtype=dt, name="conv")(
+            jnp.concatenate([cs, cm, f], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
 
 
 class _SAStep(nn.Module):
@@ -189,7 +297,7 @@ class _SAStep(nn.Module):
     corr_radius: int
     factor: int
     # eval: upsample only the emitted (last) iteration
-    # (stereoanywhere.py:318-319)
+    # (stereoanywhere.py:306-307)
     skip_unemitted: bool = False
     dtype: jnp.dtype | None = None
 
@@ -214,8 +322,9 @@ class _SAStep(nn.Module):
             net16 = ConvGRU(self.hidden_dims[1], dtype=self.dtype,
                             name="gru16")(net16, jnp.concatenate(x16, -1),
                                           ctx16)
-        motion = DualMotionEncoder(dtype=self.dtype, name="encoder")(
-            flow, corr_s, corr_m)
+        motion = SAMotionEncoder(dtype=self.dtype, name="encoder")(
+            flow.astype(net08.dtype), corr_s.astype(net08.dtype),
+            corr_m.astype(net08.dtype))
         x08 = [motion]
         if self.n_gru_layers > 1:
             x08.append(ops.interpolate(net16, net08.shape[1:3], (1, 2),
@@ -223,15 +332,15 @@ class _SAStep(nn.Module):
         net08 = ConvGRU(self.hidden_dims[2], dtype=self.dtype,
                         name="gru08")(net08, jnp.concatenate(x08, -1), ctx08)
 
-        d = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
-                            name="flow_head_1")(net08))
-        delta = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
-                        name="flow_head_2")(d)
-        m = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
-                            name="mask_1")(net08))
+        d = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name="flow_head_1")(net08))
+        delta = nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="flow_head_2")(d)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, name="mask_1")(net08))
         mask = 0.25 * nn.Conv(self.factor ** 2 * 9, (1, 1),
                               dtype=self.dtype, name="mask_2")(m)
-        flow_x = flow_x + delta[..., 0]
+        flow_x = flow_x + delta[..., 0].astype(flow_x.dtype)
 
         def blend(fx, mk):
             return ops.convex_upsample(-fx.astype(jnp.float32),
@@ -250,7 +359,7 @@ class _SAStep(nn.Module):
 
 
 class StereoAnywhere(nn.Module):
-    encoder: str = "vits"
+    encoder: str = "vitl"
     hidden_dims: Sequence[int] = (128, 128, 128)
     corr_levels: int = 4
     corr_radius: int = 4
@@ -259,50 +368,70 @@ class StereoAnywhere(nn.Module):
     train_iters: int = 22
     valid_iters: int = 32
     vol_n_masks: int = 8
+    volume_channels: int = 8
     normal_gain: int = 10
-    # trilinear (H, W, W') volume downsampling factor 2^k — the reference's
-    # high-res memory valve (stereoanywhere.py:173-205)
+    # trilinear mono-volume downsampling 2^k — the reference's high-res
+    # memory valve (stereoanywhere.py:173-205)
     vol_downsample: int = 0
     lrc_th: float = 1.0
+    mirror_conf_th: float = 0.98
+    mirror_attenuation: float = 0.9
+    use_truncate_vol: bool = True
     init_disparity_zero: bool = False
-    imagenet_norm_input: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, left, right, train: bool = False,
-                 iters: int | None = None):
+                 iters: int | None = None, return_aux: bool = False):
         iters = iters or (self.train_iters if train else self.valid_iters)
         factor = 2 ** self.n_downsample
         b, h, w, _ = left.shape
         h4, w4 = h // factor, w // factor
         dt = self.dtype
-        mean = jnp.asarray(IMAGENET_MEAN, left.dtype)
-        std = jnp.asarray(IMAGENET_STD, left.dtype)
-        if self.imagenet_norm_input:
-            img1 = 2.0 * (left * std + mean) - 1.0
-            img2 = 2.0 * (right * std + mean) - 1.0
-        else:
-            img1, img2 = left, right
 
-        # --- frozen mono branch ------------------------------------------
-        rh = -(-h // PATCH) * PATCH
-        rw = -(-w // PATCH) * PATCH
-        danv2 = DepthAnythingV2(self.encoder, dtype=dt, name="mono_model")
+        # --- frozen mono branch (stereoanywhere.py:121-127) ---------------
+        # MiDaS lower_bound resize to the nearer of 518/1036 per dimension,
+        # exact torch-bicubic kernel; the mono model sees the UN-scaled
+        # toolbox input
+        tw = 518 if abs(w - 518) <= abs(w - 518 * 2) else 1036
+        th = 518 if abs(h - 518) <= abs(h - 518 * 2) else 1036
+        if h > w:  # image2tensor swaps targets for portrait inputs
+            th, tw = tw, th
+        scale = max(th / h, tw / w)
+        rh = _constrain14(scale * h, th)
+        rw = _constrain14(scale * w, tw)
         both = jnp.concatenate([left, right], 0)
-        depths = danv2(ops.interpolate(both, (rh, rw), (1, 2),
-                                       align_corners=False))
+        dino_in = ops.interpolate_bicubic(both, (rh, rw), (1, 2))
+        danv2 = DepthAnythingV2(self.encoder, out_align_corners=False,
+                        dtype=dt, name="mono_model")
+        depths = danv2(dino_in)
         depths = jax.lax.stop_gradient(
             ops.interpolate(depths, (h, w), (1, 2), align_corners=False))
         dmin, dmax = depths.min(), depths.max()
-        depths = (depths - dmin) / (dmax - dmin + 1e-6)
+        depths = (depths - dmin) / (dmax - dmin)
         mde2, mde3 = depths[:b], depths[b:]
+
+        img1 = 2.0 * left - 1.0
+        img2 = 2.0 * right - 1.0
+
         mde2_low = ops.interpolate(mde2, (h4, w4), (1, 2),
                                    align_corners=True)
         mde3_low = ops.interpolate(mde3, (h4, w4), (1, 2),
                                    align_corners=True)
+        vs = 2 ** self.vol_downsample
+        if self.vol_downsample > 0:
+            mde2_vol = ops.interpolate(mde2, (h // vs, w // vs), (1, 2),
+                                       align_corners=True)
+            mde3_vol = ops.interpolate(mde3, (h // vs, w // vs), (1, 2),
+                                       align_corners=True)
+        else:
+            mde2_vol, mde3_vol = mde2, mde3
+        n2 = estimate_normals(mde2_low, w4 / self.normal_gain)
+        n3 = estimate_normals(mde3_low, w4 / self.normal_gain)
 
-        # --- context from the mono depth (stereoanywhere.py:148) ----------
-        mde_rgb = jnp.repeat(mde2[..., None], 3, axis=-1)
+        # context from the mono depth (stereoanywhere.py:148-152)
+        mde_rgb = jnp.repeat(mde2[..., None], 3, axis=-1).astype(
+            left.dtype)
         cnet_out = MultiBasicEncoder(self.hidden_dims, self.hidden_dims,
                                      norm="batch", dtype=dt,
                                      name="cnet")(mde_rgb)
@@ -314,65 +443,80 @@ class StereoAnywhere(nn.Module):
             contexts.append(tuple(jnp.split(z, 3, axis=-1)))
         contexts = tuple(contexts)
 
-        # --- volumes -------------------------------------------------------
+        # 1-ch depth pyramid features for the hourglass gates
+        # (stereoanywhere.py:156-157): 1/4, 1/8, 1/16, 1/32 of mde_vol
+        hv, wv = mde2_vol.shape[1:3]
+        fl_pyr, fr_pyr = [], []
+        for i in range(2, 6):
+            s = 2 ** i
+            fl_pyr.append(ops.interpolate(
+                mde2_vol, (hv // s, wv // s), (1, 2),
+                align_corners=True)[..., None].astype(dt or jnp.float32))
+            fr_pyr.append(ops.interpolate(
+                mde3_vol, (hv // s, wv // s), (1, 2),
+                align_corners=True)[..., None].astype(dt or jnp.float32))
+
+        # --- volumes ------------------------------------------------------
         fnet = BasicEncoder(256, "instance", dtype=dt, name="fnet")
         fmap2 = fnet(img1).astype(jnp.float32)
         fmap3 = fnet(img2).astype(jnp.float32)
         vol_s = all_pairs_correlation(fmap2, fmap3)  # [B, H4, W4, W4]
-
-        n2 = estimate_normals(mde2_low, w4 / self.normal_gain)
-        n3 = estimate_normals(mde3_low, w4 / self.normal_gain)
         vol_m = 1.73 * all_pairs_correlation(n2, n3)
 
         masks_l = generate_masks(mde2_low, self.vol_n_masks)
         masks_r = generate_masks(mde3_low, self.vol_n_masks)
-        gate = jnp.einsum("bnhw,bnhv->bhwv", masks_l, masks_r)
-        masked_s = vol_s * gate
-
-        # optional trilinear volume downsampling for high resolution
-        # (stereoanywhere.py:173-205 `vol_downsample`) — the reference's own
-        # memory valve, upsampled back after aggregation
-        hd, wd, vd = h4, w4, w4
-        feats_lo = (mde2_low, mde3_low)
         if self.vol_downsample > 0:
-            s = 2 ** self.vol_downsample
-            hd, wd, vd = h4 // s, w4 // s, w4 // s
-            masked_s = ops.interpolate(masked_s, (hd, wd, vd), (1, 2, 3),
-                                       align_corners=True)
-            vol_m = ops.interpolate(vol_m, (hd, wd, vd), (1, 2, 3),
+            hd, wd = h4 // vs, w4 // vs
+            vol_m = ops.interpolate(vol_m, (hd, wd, wd), (1, 2, 3),
                                     align_corners=True)
-            feats_lo = tuple(
-                ops.interpolate(f, (hd, wd), (1, 2), align_corners=True)
-                for f in feats_lo)
+            masks_l = ops.resize_nearest(masks_l, (hd, wd), (2, 3))
+            masks_r = ops.resize_nearest(masks_r, (hd, wd), (2, 3))
+        # vol · mask_l[n] ⊗ mask_r[n] → [B, h, w, w', N]
+        masked_m = (vol_m[..., None].astype(dt or jnp.float32)
+                    * jnp.moveaxis(masks_l, 1, -1)[:, :, :, None, :]
+                    * jnp.moveaxis(masks_r, 1, -1)[:, :, None, :, :])
 
-        agg_s = VolumeHourglass(8, 1, dtype=dt, name="hourglass_stereo")(
-            masked_s[..., None], *feats_lo, train)[..., 0]
-        agg_m2 = VolumeHourglass(8, 2, dtype=dt, name="hourglass_mono")(
-            vol_m[..., None], *feats_lo, train)
-        agg_m, conf_m = agg_m2[..., 0], agg_m2[..., 1]
+        agg = SAHourglass(self.vol_n_masks, self.volume_channels, dtype=dt,
+                          name="hourglass_mono")(masked_m, fl_pyr, fr_pyr)
+        cls = nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                      dtype=dt, name="classifier_mono")
+        clsc = nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                       dtype=dt, name="classifier_monoconf")
+        agg_m = cls(agg)[..., 0].astype(jnp.float32)
+        conf_m = clsc(jax.lax.stop_gradient(agg))[..., 0].astype(
+            jnp.float32)
         if self.vol_downsample > 0:
-            agg_s = ops.interpolate(agg_s, (h4, w4, w4), (1, 2, 3),
-                                    align_corners=True)
             agg_m = ops.interpolate(agg_m, (h4, w4, w4), (1, 2, 3),
                                     align_corners=True)
             conf_m = ops.interpolate(conf_m, (h4, w4, w4), (1, 2, 3),
                                      align_corners=True)
 
-        # --- coarse disparities + confidences + scale/shift ---------------
+        # --- coarse disparities, confidences, scale/shift -----------------
         disp2_m = estimate_left_disparity(agg_m)
         disp3_m = estimate_right_disparity(agg_m)
-        conf2 = entropy_confidence(conf_m, 3)
-        conf3 = entropy_confidence(conf_m, 2)
+        lconf2 = entropy_confidence(conf_m, 3)
+        lconf3 = entropy_confidence(conf_m, 2)
         s2, s3 = softlrc(disp2_m, disp3_m, self.lrc_th)
-        c2 = conf2 * s2
-        c3 = conf3 * s3
-        scale, shift = weighted_lsq(
+        c2 = fuzzy_and(lconf2, s2)
+        c3 = fuzzy_and(lconf3, s3)
+        scale_g, shift_g = weighted_lsq(
             jnp.concatenate([mde2_low, mde3_low], 1),
             jnp.concatenate([disp2_m, disp3_m], 1),
             jnp.concatenate([c2, c3], 1))
-        scaled_mde2_low = scale * mde2_low + shift
+        scaled_mde2_low = scale_g * mde2_low + shift_g
+        scaled_mde3_low = scale_g * mde3_low + shift_g
 
-        pyr_s = tuple(build_corr_pyramid(agg_s.astype(jnp.float32),
+        if self.use_truncate_vol:
+            slrc2_scaled, _ = softlrc(scaled_mde2_low, scaled_mde3_low,
+                                      self.lrc_th)
+            mirror2 = mirror_detector(disp2_m, scaled_mde2_low, c2,
+                                      slrc2_scaled,
+                                      conf_th=self.mirror_conf_th)
+            trunc = jax.lax.stop_gradient(truncate_corr_volume(
+                scaled_mde2_low, mirror2, self.mirror_attenuation))
+            vol_s = vol_s * trunc
+
+        pyr_s = tuple(build_corr_pyramid(vol_s.astype(jnp.float32),
                                          self.corr_levels))
         pyr_m = tuple(build_corr_pyramid(agg_m.astype(jnp.float32),
                                          self.corr_levels))
@@ -381,7 +525,7 @@ class StereoAnywhere(nn.Module):
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4))
         flow_x = (jnp.zeros((b, h4, w4), jnp.float32)
                   if self.init_disparity_zero
-                  else -jnp.maximum(scaled_mde2_low.astype(jnp.float32), 0))
+                  else -scaled_mde2_low.astype(jnp.float32))
 
         emit = jnp.ones((iters,), bool) if train else \
             jnp.arange(iters) == iters - 1
@@ -394,6 +538,20 @@ class StereoAnywhere(nn.Module):
         (nets, flow_x), ups = step((nets, flow_x), emit, pyr_s, pyr_m,
                                    contexts, x0)
 
+        if return_aux:
+            return ups[-1], {
+                "mde2": mde2, "mde2_low": mde2_low, "disp2_m": disp2_m,
+                "disp3_m": disp3_m, "lconf2": lconf2, "c2": c2,
+                "scale": scale_g, "shift": shift_g,
+                "scaled_mde2_low": scaled_mde2_low, "agg_m": agg_m,
+                "vol_m": vol_m, "vol_s": vol_s, "n2": n2}
         if train:
             return [ups[i] for i in range(iters)]
         return ups[-1]
+
+
+def _constrain14(x: float, min_val: int) -> int:
+    y = int(round(x / 14) * 14)
+    if y < min_val:
+        y = int(math.ceil(x / 14) * 14)
+    return y
