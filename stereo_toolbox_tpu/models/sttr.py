@@ -274,7 +274,8 @@ class STTRTransformer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, feat_left, feat_right, pos_enc):
+    def __call__(self, feat_left, feat_right, pos_enc,
+                 train: bool = False):
         # feat_*: [B', W, C]; pos_enc: [2W-1, C]
         w = feat_left.shape[1]
         idx = (jnp.arange(w - 1, -1, -1)[:, None]
@@ -284,11 +285,10 @@ class STTRTransformer(nn.Module):
         pos_rel_flipped = jnp.take(pos_enc[::-1], idx, axis=0).reshape(
             w, w, pos_enc.shape[-1])
 
-        raw_attn = None
-        for i in range(self.num_layers):
-            last = i == self.num_layers - 1
+        def layer_body(mdl, feat_left, feat_right, pos_rel,
+                       pos_rel_flipped, i, last):
             # self attention (shared weights across the two views)
-            sa = RelativeMHA(self.num_heads, dtype=self.dtype,
+            sa = RelativeMHA(mdl.num_heads, dtype=mdl.dtype,
                              name=f"self_attn_{i}")
             norm1 = nn.LayerNorm(name=f"self_norm_{i}")
             both = jnp.concatenate([feat_left, feat_right], axis=0)
@@ -298,7 +298,7 @@ class STTRTransformer(nn.Module):
             feat_left, feat_right = both[:n], both[n:]
 
             # cross attention
-            ca = RelativeMHA(self.num_heads, dtype=self.dtype,
+            ca = RelativeMHA(mdl.num_heads, dtype=mdl.dtype,
                              name=f"cross_attn_{i}")
             cn1 = nn.LayerNorm(name=f"cross_norm1_{i}")
             cn2 = nn.LayerNorm(name=f"cross_norm2_{i}")
@@ -312,6 +312,20 @@ class STTRTransformer(nn.Module):
             out, raw_attn = ca(fl2, fr2, fr2, pos_rel, attn_mask=mask,
                                return_raw=True)
             feat_left = feat_left + out
+            return feat_left, feat_right, raw_attn
+
+        # Train-time gradient checkpointing over the alternating layers
+        # (the reference remats each layer, STTR/transformer.py:54-66):
+        # without it every layer's [2B', W, W] logits stay live for the
+        # backward pass — rematting bounds train memory to ~one layer's.
+        body = nn.remat(layer_body, static_argnums=(5, 6)) if train \
+            else layer_body
+
+        raw_attn = None
+        for i in range(self.num_layers):
+            feat_left, feat_right, raw_attn = body(
+                self, feat_left, feat_right, pos_rel, pos_rel_flipped, i,
+                i == self.num_layers - 1)
         return raw_attn  # [B', W, W]
 
 
@@ -406,7 +420,7 @@ class STTR(nn.Module):
         fr = feat_right.reshape(b * hs, ws, c)
         raw_attn = STTRTransformer(
             c, self.num_heads, self.num_attn_layers, dtype=self.dtype,
-            name="transformer")(fl, fr, pos_enc)  # [B*H, W, W]
+            name="transformer")(fl, fr, pos_enc, train)  # [B*H, W, W]
 
         phi = self.param("phi", nn.initializers.constant(1.0), (1,))
         if self.ot:

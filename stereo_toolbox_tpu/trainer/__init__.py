@@ -135,6 +135,13 @@ def compute_loss(outputs, gt, mask, config: TrainConfig, batch=None):
         init_disp, preds = outputs
         return losses.sequence_loss(preds, gt, mask, init_disp=init_disp,
                                     loss_gamma=config.loss_gamma)
+    if isinstance(outputs, tuple) and len(outputs) == 3:
+        # MonSter contract: (init_disp, disp_preds, depth_mono) — the mono
+        # branch is frozen (monster.py:317-320), so only the stereo
+        # sequence is supervised
+        init_disp, preds, _depth_mono = outputs
+        return losses.sequence_loss(preds, gt, mask, init_disp=init_disp,
+                                    loss_gamma=config.loss_gamma)
     if config.loss == "sequence":
         return losses.sequence_loss(list(outputs), gt, mask,
                                     loss_gamma=config.loss_gamma)

@@ -62,6 +62,22 @@ def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
         config = TrainConfig(lr=2e-3, max_disp=64, loss="sequence",
                              clip_grad=1.0)
         model = IGEVStereo(max_disp=64, train_iters=4, valid_iters=4)
+    elif model_name == "monster":
+        # fourth artifact (round-4 verdict item 8): the dual-branch
+        # stereo+mono fusion path (frozen DAv2-vits trunk, mix GRUs, REMP)
+        from stereo_toolbox_tpu.models import MODEL_REGISTRY
+        config = TrainConfig(lr=2e-3, max_disp=32, loss="sequence",
+                             clip_grad=1.0)
+        model = MODEL_REGISTRY["MonSter"](
+            encoder="vits", max_disp=32, train_iters=3, valid_iters=3,
+            mix_iters=2)
+    elif model_name == "psmnet_selfsup":
+        # fifth artifact (round-4 verdict item 9): the self-supervised
+        # photometric path (losses/__init__.py selfsup_sequence_loss) —
+        # trained WITHOUT ground truth, evaluated against it
+        config = TrainConfig(lr=2e-3, max_disp=48, loss="selfsup",
+                             clip_grad=1.0)
+        model = PSMNet(max_disp=48)
     else:
         config = TrainConfig(lr=2e-3, max_disp=48, loss="multihead",
                              clip_grad=1.0)
@@ -90,7 +106,10 @@ def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
                 print(f"step {it}: loss {float(loss):.3f}", flush=True)
             it += 1
     print(f"loss {first:.3f} -> {last:.3f} over {steps} steps", flush=True)
-    assert last < first * 0.5, "training failed to reduce the loss"
+    # the photometric selfsup loss starts low (images are similar) and
+    # improves more modestly than supervised losses
+    factor = 0.9 if model_name == "psmnet_selfsup" else 0.5
+    assert last < first * factor, "training failed to reduce the loss"
 
     val_ds = SyntheticStereoDataset(num_samples=8, height=96, width=128,
                                     max_disp=24, training=False, seed=100)
@@ -115,6 +134,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--out", default=GOLDEN)
     ap.add_argument("--model", default="psmnet",
-                    choices=["psmnet", "raft_stereo", "igev_stereo"])
+                    choices=["psmnet", "raft_stereo", "igev_stereo",
+                             "monster", "psmnet_selfsup"])
     a = ap.parse_args()
     run(a.steps, a.out, a.model)
