@@ -100,8 +100,11 @@ class PSMNet(nn.Module):
                  train: bool = False):
         B, H, W, _ = left.shape
         feat = SPPFeature(dtype=self.dtype, name="feature_extraction")
-        from stereo_toolbox_tpu.nn.layers import dual_view_apply
-        ref_f, tgt_f = dual_view_apply(feat, left, right, train)
+        # dual_view_apply measured ~2% SLOWER for PSMNet on the chip
+        # (38.7 vs 37.9 ms at 480×640) — its trunk is light enough that
+        # the batched pass loses to fusion; keep separate calls
+        ref_f = feat(left, train)
+        tgt_f = feat(right, train)
 
         # dres0 / dres1 + residual (stackhourglass.py:122-123). The concat
         # volume (stackhourglass.py:111-120) is never materialized: its only

@@ -449,11 +449,15 @@ class StereoAnywhere(nn.Module):
         fl_pyr, fr_pyr = [], []
         for i in range(2, 6):
             s = 2 ** i
+            # clamp to >=1 so tiny inputs (or deep vol_downsample) keep a
+            # valid pyramid — the att maps are trilinearly resized to the
+            # volume scale anyway
+            sz = (max(hv // s, 1), max(wv // s, 1))
             fl_pyr.append(ops.interpolate(
-                mde2_vol, (hv // s, wv // s), (1, 2),
+                mde2_vol, sz, (1, 2),
                 align_corners=True)[..., None].astype(dt or jnp.float32))
             fr_pyr.append(ops.interpolate(
-                mde3_vol, (hv // s, wv // s), (1, 2),
+                mde3_vol, sz, (1, 2),
                 align_corners=True)[..., None].astype(dt or jnp.float32))
 
         # --- volumes ------------------------------------------------------
