@@ -25,11 +25,16 @@ GOLDEN = os.path.join(ROOT, "GOLDEN_METRICS.json")
     ("psmnet", "synthetic_sceneflow_protocol_120steps"),
     ("raft_stereo", "raft_stereo_synthetic_sceneflow_protocol_120steps"),
     ("igev_stereo", "igev_stereo_synthetic_sceneflow_protocol_120steps"),
+    ("monster", "monster_synthetic_sceneflow_protocol_120steps"),
+    ("psmnet_selfsup",
+     "psmnet_selfsup_synthetic_sceneflow_protocol_120steps"),
 ])
 def test_training_reproduces_golden_metrics(tmp_path, model, key):
-    """Three accuracy artifacts under the gate (round-3 verdict item 9):
-    a multihead cost-volume model, a RAFT scan, and an IGEV scan with the
-    full GEV trunk + banded lookups."""
+    """Five accuracy artifacts under the gate: a multihead cost-volume
+    model, a RAFT scan, an IGEV scan with the full GEV trunk + banded
+    lookups, MonSter's dual-branch mix-GRU path (round-4 verdict item 8),
+    and the self-supervised photometric path trained without ground truth
+    (item 9)."""
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from train_golden import run
 
@@ -46,5 +51,6 @@ def test_training_reproduces_golden_metrics(tmp_path, model, key):
     # _write_back raises AssertionError on drift > 1e-3 vs the stored values
     metrics = run(steps=120, write_json=str(golden_copy), model_name=model)
     # sanity on the artifact itself: training clearly beat the untrained
-    # net (~10.5 px EPE on this synthetic distribution, tools/smoke_tpu.py)
-    assert metrics[0] < 7.0
+    # net (~10.5 px EPE on this synthetic distribution, tools/smoke_tpu.py);
+    # the selfsup artifact trains without GT, so its EPE bar is looser
+    assert metrics[0] < (9.0 if model == "psmnet_selfsup" else 7.0)

@@ -53,6 +53,14 @@ def run(steps: int = 120, write_json: str = GOLDEN, model_name="psmnet"):
         config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
                              clip_grad=1.0)
         model = RAFTStereo(train_iters=4, valid_iters=4)
+    elif model_name == "raft_stereo_reg":
+        # diagnostic twin of the raft_stereo recipe with the uncapped
+        # full-pyramid correlation — run to confirm whether a banded-vs-reg
+        # golden gap is trajectory noise or a systematic training change
+        # (round-4 advisor item 2); not part of the committed goldens
+        config = TrainConfig(lr=2e-3, max_disp=48, loss="sequence",
+                             clip_grad=1.0)
+        model = RAFTStereo(train_iters=4, valid_iters=4, corr_impl="reg")
     elif model_name == "igev_stereo":
         # third artifact (round-3 verdict item 9): an nn.scan model whose
         # full train loop (GEV trunk + banded lookups + GRU scan +
@@ -134,7 +142,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--out", default=GOLDEN)
     ap.add_argument("--model", default="psmnet",
-                    choices=["psmnet", "raft_stereo", "igev_stereo",
-                             "monster", "psmnet_selfsup"])
+                    choices=["psmnet", "raft_stereo", "raft_stereo_reg",
+                             "igev_stereo", "monster", "psmnet_selfsup"])
     a = ap.parse_args()
     run(a.steps, a.out, a.model)
