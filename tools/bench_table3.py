@@ -200,6 +200,13 @@ def main():
         "README.md:182-202 (BASELINE.md Table 3); 'OOM' rows are",
         "resolutions the reference cannot run at all.",
         "",
+        "NOTE (round 5): the foundation_s/l cells now measure the",
+        "FAITHFUL FoundationStereo (max_disp 416, 28-ch attentive volume,",
+        "EdgeNeXt+DepthAnything trunk — importer-parity-proven), which is",
+        "~3-4x the compute of the round-3/4 approximation those cells",
+        "previously described. Their 2-3x rows in earlier rounds were not",
+        "apples-to-apples with the GPU's published numbers; these are.",
+        "",
         "| model | resolution | TPU v5e (s) | TPU MB (est) | RTX 4090 (s) "
         "| 4090 MB | speedup |",
         "|---|---|---|---|---|---|---|",
