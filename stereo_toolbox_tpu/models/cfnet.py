@@ -163,10 +163,13 @@ class HourglassMish(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.features
         dt = self.dtype
+        hg_impl = __import__("os").environ.get("STTPU_CF_HG", "auto")
         c1 = ConvBNAct(f * 2, 3, 2, act=mish, dtype=dt)(x, train)
-        c2 = ConvBNAct(f * 2, 3, 1, act=mish, dtype=dt)(c1, train)
+        c2 = ConvBNAct(f * 2, 3, 1, act=mish, conv3d_impl=hg_impl,
+                       dtype=dt)(c1, train)
         c3 = ConvBNAct(f * 4, 3, 2, act=mish, dtype=dt)(c2, train)
-        c4 = ConvBNAct(f * 4, 3, 1, act=mish, dtype=dt)(c3, train)
+        c4 = ConvBNAct(f * 4, 3, 1, act=mish, conv3d_impl=hg_impl,
+                       dtype=dt)(c3, train)
         up5 = ConvTransposeBN(f * 2, 3, 2, dtype=dt)(c4, train)
         r2 = ConvBNAct(f * 2, 1, padding=0, act=None, dtype=dt)(c2, train)
         c5 = mish(up5 + r2)
