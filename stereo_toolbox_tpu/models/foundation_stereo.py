@@ -803,8 +803,15 @@ class FoundationStereo(nn.Module):
                           name="classifier_0")(gev, train)
         cls = ResnetBlock(self.volume_dim // 2, dtype=dt,
                           name="classifier_1")(cls, train)
-        cls = nn.Conv(1, (7, 7, 7), padding=((3, 3),) * 3, dtype=dt,
-                      name="classifier_2")(cls)
+        # the 7^3 Co=1 head runs at 0.37 TF/s on XLA's native conv
+        # (157 ms at 736x1280); the kd-folded via2d lowering computes the
+        # 7 kd-taps as 2D-conv output channels instead (param-compatible)
+        from stereo_toolbox_tpu.nn.layers import Conv3dFlex
+        cls = Conv3dFlex(1, (7, 7, 7), padding=(3, 3, 3), use_bias=True,
+                         impl=__import__("os").environ.get(
+                             "STTPU_FS_CLS", "via2d"),
+                         kernel_init=nn.initializers.lecun_normal(),
+                         dtype=dt, name="classifier_2")(cls)
         prob = jax.nn.softmax(cls[..., 0].astype(jnp.float32), 1)
         if init_disp is None:
             init_disp = ops.disparity_regression(prob, d4)
@@ -824,9 +831,9 @@ class FoundationStereo(nn.Module):
         frn = frn / (jnp.linalg.norm(frn, axis=-1, keepdims=True) + 1e-12)
         band_offs = ()
         if self.corr_impl == "banded":
-            # capped at max_disp + margin (the reference's corr pyramid is
-            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
-            db = band_d_max(d4, fl[0].shape[2])
+            # eval: capped at max_disp + margin; train: full width (the
+            # cap degrades optimization — see igev_stereo)
+            db = band_d_max(None if train else d4, fl[0].shape[2])
             m4 = max(self.band_margin // 4, 1)
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)

@@ -327,11 +327,14 @@ class IGEVStereo(nn.Module):
         geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
         band_offs = ()
         if self.corr_impl == "banded":
-            # band reach = the model's own max_disp (the GEV's reach) +
-            # margin, clamped to the map width. NOTE: the reference's corr
-            # pyramid is all-pairs — lookups beyond max_disp + band_margin
-            # read zero here; corr_impl='reg' restores uncapped behavior.
-            db = band_d_max(d4, match_left.shape[2])
+            # eval: band reach = the model's own max_disp (the GEV's
+            # reach) + margin, clamped to the map width; TRAIN uses the
+            # full width (the cap degrades optimization — RAFT's 120-step
+            # golden trains to EPE 2.78 full vs 4.38 capped). NOTE: the
+            # reference's corr pyramid is all-pairs — eval lookups beyond
+            # max_disp + band_margin read zero; corr_impl='reg' restores
+            # uncapped behavior everywhere.
+            db = band_d_max(None if train else d4, match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)

@@ -588,9 +588,10 @@ class Monster(nn.Module):
         # IGEV-style corr is unnormalized (MonSter/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
-            # capped at max_disp + margin (the reference's corr pyramid is
-            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
-            d4 = band_d_max(self.max_disp // 4, match_left.shape[2])
+            # eval: capped at max_disp + margin; train: full width (the
+            # cap degrades optimization — see igev_stereo)
+            d4 = band_d_max(None if train else self.max_disp // 4,
+                            match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)

@@ -285,8 +285,9 @@ class SelectiveRAFT(nn.Module):
 
         band_offs = ()
         if self.corr_impl == "banded":
+            # train uses the full-width band — see RAFTStereo
             d4 = band_d_max(
-                None if self.band_max_disp is None
+                None if (train or self.band_max_disp is None)
                 else max(self.band_max_disp // factor, 1), fmap1.shape[2])
             m4 = max(self.band_margin // factor, 1)
             band_offs = band_offsets(self.corr_levels, d4,
@@ -452,9 +453,9 @@ class SelectiveIGEV(nn.Module):
         # IGEV-style corr is unnormalized (SelectiveIGEV/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
-            # capped at max_disp + margin (the reference's corr pyramid is
-            # all-pairs; see ops.corr.band_d_max / corr_impl='reg')
-            db = band_d_max(d4, match_left.shape[2])
+            # eval: capped at max_disp + margin; train: full width (the
+            # cap degrades optimization — see RAFTStereo)
+            db = band_d_max(None if train else d4, match_left.shape[2])
             m4 = max(self.band_margin // 4, 1)
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
