@@ -261,6 +261,9 @@ class ResnetBlock(nn.Module):
     (`instance_norm` swaps BN→IN as Conv2x_IN's conv2 does)."""
     features: int
     instance_norm: bool = False
+    # 'via2d' halves the HBM cost of 3³ convs on narrow-channel volumes
+    # (XLA pads C=28 to 128 lanes in the native layout) — see BasicConvBN
+    conv3d_impl: str = "native"
     dtype: jnp.dtype | None = None
 
     def _norm(self, x, train, name):
@@ -272,15 +275,22 @@ class ResnetBlock(nn.Module):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name=name)(x)
 
+    def _conv(self, x, name):
+        n = x.ndim - 2
+        if n == 3 and self.conv3d_impl != "native":
+            from stereo_toolbox_tpu.nn.layers import Conv3dFlex
+            return Conv3dFlex(self.features, (3,) * n, (1,) * n, (1,) * n,
+                              impl=self.conv3d_impl, use_bias=False,
+                              kernel_init=nn.initializers.lecun_normal(),
+                              dtype=self.dtype, name=name)(x)
+        return nn.Conv(self.features, (3,) * n, padding=((1, 1),) * n,
+                       use_bias=False, dtype=self.dtype, name=name)(x)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        n = x.ndim - 2
-        k, p = (3,) * n, ((1, 1),) * n
-        y = nn.Conv(self.features, k, padding=p, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        y = self._conv(x, "conv1")
         y = nn.relu(self._norm(y, train, "bn1"))
-        y = nn.Conv(self.features, k, padding=p, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = self._conv(y, "conv2")
         y = self._norm(y, train, "bn2")
         return nn.relu(x + y)
 
@@ -344,20 +354,40 @@ class Conv3dNormActReduced(nn.Module):
     both bias-ful + BN + ReLU (submodule.py:89-114)."""
     features: int
     kernel_disp: int = 17
+    # spatial (1,3,3) lowering: 'via2d' (= one plain 2D conv with D folded
+    # into batch) measured 5.1 vs 19.4 ms native at 104×184×320×28 — the
+    # native 3D path pays the 128-lane channel padding. The (kd,1,1)
+    # disparity conv stays native (via2d loses there: 75 vs 19 ms).
+    conv3d_impl: str = "native"
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(self.features, (1, 3, 3),
-                    padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv1")(x)
+        if self.conv3d_impl != "native":
+            from stereo_toolbox_tpu.nn.layers import Conv3dFlex
+            h = Conv3dFlex(self.features, (1, 3, 3), (1, 1, 1), (0, 1, 1),
+                           impl=self.conv3d_impl, use_bias=True,
+                           kernel_init=nn.initializers.lecun_normal(),
+                           dtype=self.dtype, name="conv1")(x)
+        else:
+            h = nn.Conv(self.features, (1, 3, 3),
+                        padding=((0, 0), (1, 1), (1, 1)), dtype=self.dtype,
+                        name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         kd = self.kernel_disp
-        h = nn.Conv(self.features, (kd, 1, 1),
-                    padding=((kd // 2, kd // 2), (0, 0), (0, 0)),
-                    dtype=self.dtype, name="conv2")(h)
+        nvox = h.shape[1] * h.shape[2] * h.shape[3]
+        if self.conv3d_impl != "native" and nvox >= 2_000_000:
+            from stereo_toolbox_tpu.nn.layers import Conv3dFlex
+            h = Conv3dFlex(self.features, (kd, 1, 1), (1, 1, 1),
+                           (kd // 2, 0, 0), impl="d2d", use_bias=True,
+                           kernel_init=nn.initializers.lecun_normal(),
+                           dtype=self.dtype, name="conv2")(h)
+        else:
+            h = nn.Conv(self.features, (kd, 1, 1),
+                        padding=((kd // 2, kd // 2), (0, 0), (0, 0)),
+                        dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(h)
         return nn.relu(h)
@@ -386,11 +416,20 @@ class CostVolumeDisparityAttention(nn.Module):
         pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
         seq = seq + pe[None, :d].astype(seq.dtype)
 
+        from stereo_toolbox_tpu.nn.gru import Conv2dParams
         hd = c // self.nhead
         for i in range(self.num_layers):
-            q = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_q")(seq)
-            k = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_k")(seq)
-            v = nn.Dense(c, dtype=self.dtype, name=f"sa{i}_v")(seq)
+            # q/k/v in one matmul (same input; with d_model=28 three
+            # separate Dense calls each waste 100/128 MXU lanes). Param
+            # paths are unchanged — Conv2dParams with an empty kernel
+            # window registers exactly nn.Dense's {kernel, bias}.
+            kp, bp = zip(*(Conv2dParams(c, (), name=f"sa{i}_{nm}")(c)
+                           for nm in "qkv"))
+            seq_, kcat, bcat = nn.dtypes.promote_dtype(
+                seq, jnp.concatenate(kp, -1), jnp.concatenate(bp),
+                dtype=self.dtype)
+            qkv = seq_ @ kcat + bcat
+            q, k, v = (qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:])
             shp = (b * h * w, d, self.nhead, hd)
             a = jax.nn.dot_product_attention(q.reshape(shp), k.reshape(shp),
                                              v.reshape(shp))
@@ -411,21 +450,28 @@ class FSHourglass(nn.Module):
     volume (foundation_stereo.py:46-126)."""
     features: int = 28
     max_disp: int = 416
+    conv3d_impl: str = "native"
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, features, train: bool = False):
-        f, dt = self.features, self.dtype
-        c1 = BasicConvBN(f * 2, 3, 2, dtype=dt, name="conv1_0")(x, train)
-        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="conv1_1")(c1, train)
+        f, dt, im = self.features, self.dtype, self.conv3d_impl
+        c1 = BasicConvBN(f * 2, 3, 2, conv3d_impl=im, dtype=dt,
+                         name="conv1_0")(x, train)
+        c1 = Conv3dNormActReduced(f * 2, conv3d_impl=im, dtype=dt,
+                                  name="conv1_1")(c1, train)
         c1 = FeatureAtt(f * 2, dtype=dt,
                         name="feature_att_8")(c1, features[1], train)
-        c2 = BasicConvBN(f * 4, 3, 2, dtype=dt, name="conv2_0")(c1, train)
-        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="conv2_1")(c2, train)
+        c2 = BasicConvBN(f * 4, 3, 2, conv3d_impl=im, dtype=dt,
+                         name="conv2_0")(c1, train)
+        c2 = Conv3dNormActReduced(f * 4, conv3d_impl=im, dtype=dt,
+                                  name="conv2_1")(c2, train)
         c2 = FeatureAtt(f * 4, dtype=dt,
                         name="feature_att_16")(c2, features[2], train)
-        c3 = BasicConvBN(f * 6, 3, 2, dtype=dt, name="conv3_0")(c2, train)
-        c3 = Conv3dNormActReduced(f * 6, dtype=dt, name="conv3_1")(c3, train)
+        c3 = BasicConvBN(f * 6, 3, 2, conv3d_impl=im, dtype=dt,
+                         name="conv3_0")(c2, train)
+        c3 = Conv3dNormActReduced(f * 6, conv3d_impl=im, dtype=dt,
+                                  name="conv3_1")(c3, train)
         c3 = FeatureAtt(f * 6, dtype=dt,
                         name="feature_att_32")(c3, features[3], train)
 
@@ -433,16 +479,20 @@ class FSHourglass(nn.Module):
                           name="conv3_up")(c3, train)
         c2 = jnp.concatenate([c3u, c2], axis=-1)
         c2 = BasicConvBN(f * 4, 1, 1, dtype=dt, name="agg_0_0")(c2, train)
-        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="agg_0_1")(c2, train)
-        c2 = Conv3dNormActReduced(f * 4, dtype=dt, name="agg_0_2")(c2, train)
+        c2 = Conv3dNormActReduced(f * 4, conv3d_impl=im, dtype=dt,
+                                  name="agg_0_1")(c2, train)
+        c2 = Conv3dNormActReduced(f * 4, conv3d_impl=im, dtype=dt,
+                                  name="agg_0_2")(c2, train)
         c2 = FeatureAtt(f * 4, dtype=dt,
                         name="feature_att_up_16")(c2, features[2], train)
         c2u = BasicConvBN(f * 2, 4, 2, deconv=True, dtype=dt,
                           name="conv2_up")(c2, train)
         c1 = jnp.concatenate([c2u, c1], axis=-1)
         c1 = BasicConvBN(f * 2, 1, 1, dtype=dt, name="agg_1_0")(c1, train)
-        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="agg_1_1")(c1, train)
-        c1 = Conv3dNormActReduced(f * 2, dtype=dt, name="agg_1_2")(c1, train)
+        c1 = Conv3dNormActReduced(f * 2, conv3d_impl=im, dtype=dt,
+                                  name="agg_1_1")(c1, train)
+        c1 = Conv3dNormActReduced(f * 2, conv3d_impl=im, dtype=dt,
+                                  name="agg_1_2")(c1, train)
         c1 = FeatureAtt(f * 2, dtype=dt,
                         name="feature_att_up_8")(c1, features[1], train)
         conv = BasicConvBN(f, 4, 2, deconv=True, dtype=dt,
@@ -460,10 +510,10 @@ class FSHourglass(nn.Module):
         patch = ops.interpolate(patch, conv.shape[1:4], (1, 2, 3),
                                 align_corners=False)
         conv = conv + patch
-        conv = Conv3dNormActReduced(f, dtype=dt, name="conv_out_0")(conv,
-                                                                    train)
-        return Conv3dNormActReduced(f, dtype=dt, name="conv_out_1")(conv,
-                                                                    train)
+        conv = Conv3dNormActReduced(f, conv3d_impl=im, dtype=dt,
+                                    name="conv_out_0")(conv, train)
+        return Conv3dNormActReduced(f, conv3d_impl=im, dtype=dt,
+                                    name="conv_out_1")(conv, train)
 
 
 class FSFeature(nn.Module):
@@ -599,11 +649,14 @@ class FSRaftGRU(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, hx):
+        from stereo_toolbox_tpu.nn.gru import Conv2dParams, fused_gate_conv
         k, p = (self.kernel,) * 2, ((self.kernel // 2,) * 2,) * 2
-        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding=p,
-                                   dtype=self.dtype, name="convz")(hx))
-        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding=p,
-                                   dtype=self.dtype, name="convr")(hx))
+        z, r = fused_gate_conv(
+            hx, [Conv2dParams(self.hidden_dim, k, name="convz"),
+                 Conv2dParams(self.hidden_dim, k, name="convr")],
+            dtype=self.dtype)
+        z = jax.nn.sigmoid(z)
+        r = jax.nn.sigmoid(r)
         q = jnp.tanh(nn.Conv(self.hidden_dim, k, padding=p,
                              dtype=self.dtype, name="convq")(
             jnp.concatenate([r * h, x], axis=-1)))
@@ -747,6 +800,11 @@ class FoundationStereo(nn.Module):
     # reference pyramid is all-pairs — use 'reg' for uncapped parity
     corr_impl: str = "banded"
     band_margin: int = 32
+    # volume-conv lowering for the corr_stem / classifier / hourglass 3D
+    # convs ('native' | 'via2d'); via2d sidesteps the 128-lane channel
+    # padding of the C=28 volume (2-4× per conv at 736×1280) and is exact
+    # up to float reassociation. Param trees are impl-invariant.
+    conv3d_impl: str = "via2d"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -781,27 +839,47 @@ class FoundationStereo(nn.Module):
         # each group's channels before the dot product)
         gwc = ops.build_gwc_volume_cosine(fl[0], fr0, d4, self.cv_group)
         proj = nn.Conv(12, (1, 1), dtype=dt, name="proj_cmb")
-        # FoundationStereo keeps left features at every d
-        # (submodule.py:416-427)
-        cvol = ops.build_concat_volume(proj(fl[0]), proj(fr0), d4,
-                                       mask_left=False)
-        comb = jnp.concatenate([gwc, cvol], -1)
-        comb = nn.Conv(self.volume_dim, (1, 1, 1), dtype=dt,
-                       name="corr_stem_0")(comb)
-        comb = BasicConvBN(self.volume_dim, 3, 1, dtype=dt,
+        c3im = self.conv3d_impl
+        if c3im != "native":
+            # corr_stem_0 (1×1×1 over concat([gwc, concat_volume])) is
+            # linear — factorize it so the 2C-channel concat volume is
+            # never materialized (ops.pointwise_conv_gwc_concat); exact up
+            # to float reassociation, params identical to the nn.Conv
+            from stereo_toolbox_tpu.nn.layers import Conv3dFlex
+            kern, kbias = Conv3dFlex(
+                self.volume_dim, (1, 1, 1), use_bias=True,
+                kernel_init=nn.initializers.lecun_normal(), dtype=dt,
+                name="corr_stem_0")(
+                jnp.zeros((1, 1, 1, 1,
+                           self.cv_group + 24), dt or jnp.float32),
+                raw=True)
+            pl, pr, kern, kbias = nn.dtypes.promote_dtype(
+                proj(fl[0]), proj(fr0), kern, kbias, dtype=dt)
+            comb = ops.pointwise_conv_gwc_concat(
+                gwc.astype(pl.dtype), pl, pr, kern, kbias)
+        else:
+            # FoundationStereo keeps left features at every d
+            # (submodule.py:416-427)
+            cvol = ops.build_concat_volume(proj(fl[0]), proj(fr0), d4,
+                                           mask_left=False)
+            comb = jnp.concatenate([gwc, cvol], -1)
+            comb = nn.Conv(self.volume_dim, (1, 1, 1), dtype=dt,
+                           name="corr_stem_0")(comb)
+        comb = BasicConvBN(self.volume_dim, 3, 1, conv3d_impl=c3im, dtype=dt,
                            name="corr_stem_1")(comb, train)
-        comb = ResnetBlock(self.volume_dim, dtype=dt,
+        comb = ResnetBlock(self.volume_dim, conv3d_impl=c3im, dtype=dt,
                            name="corr_stem_2")(comb, train)
-        comb = ResnetBlock(self.volume_dim, dtype=dt,
+        comb = ResnetBlock(self.volume_dim, conv3d_impl=c3im, dtype=dt,
                            name="corr_stem_3")(comb, train)
         comb = FeatureAtt(self.volume_dim, dtype=dt,
                           name="corr_feature_att")(comb, fl[0], train)
-        gev = FSHourglass(self.volume_dim, self.max_disp, dtype=dt,
+        gev = FSHourglass(self.volume_dim, self.max_disp,
+                          conv3d_impl=c3im, dtype=dt,
                           name="cost_agg")(comb, fl, train)
 
-        cls = BasicConvBN(self.volume_dim // 2, 3, 1, dtype=dt,
-                          name="classifier_0")(gev, train)
-        cls = ResnetBlock(self.volume_dim // 2, dtype=dt,
+        cls = BasicConvBN(self.volume_dim // 2, 3, 1, conv3d_impl=c3im,
+                          dtype=dt, name="classifier_0")(gev, train)
+        cls = ResnetBlock(self.volume_dim // 2, conv3d_impl=c3im, dtype=dt,
                           name="classifier_1")(cls, train)
         # the 7^3 Co=1 head runs at 0.37 TF/s on XLA's native conv
         # (157 ms at 736x1280); the kd-folded via2d lowering computes the
@@ -822,8 +900,14 @@ class FoundationStereo(nn.Module):
             if vit_feat.shape[1:3] != (h4, w4) else vit_feat, train)
         nets, inps, atts = _cam_sam_context(cnet_out, dt)
 
-        gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
-        geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
+        # Lookup pyramids stay in the model dtype: bf16 halves the HBM
+        # traffic of the per-iteration hat contractions (the scan's single
+        # hottest op at 736×1280 — 8.6 → 3.5 ms/iter) while positions and
+        # weight construction remain f32 (ops/sampling.py). dtype=None keeps
+        # the exact f32 path parity tests and goldens run on.
+        lkdt = dt or jnp.float32
+        geo_vol = jnp.moveaxis(gev, 1, 3).astype(lkdt)
+        geo_pyr = tuple(build_volume_pyramid(geo_vol, self.corr_levels))
         # cosine (L2-normalized) correlation — geometry.py:66-79
         fln = fl[0].astype(jnp.float32)
         fln = fln / (jnp.linalg.norm(fln, axis=-1, keepdims=True) + 1e-12)
@@ -838,8 +922,9 @@ class FoundationStereo(nn.Module):
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
-                fln, frn, self.corr_levels, db, self.corr_radius, m4,
-                normalize=False)
+                fln.astype(lkdt), frn.astype(lkdt), self.corr_levels, db,
+                self.corr_radius, m4, normalize=False)
+            corr_pyr = tuple(c.astype(lkdt) for c in corr_pyr)
         else:
             corr = jnp.einsum("bhic,bhjc->bhij", fln, frn)
             corr_pyr = tuple(build_corr_pyramid(corr, self.corr_levels))

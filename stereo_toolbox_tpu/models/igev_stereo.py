@@ -322,9 +322,14 @@ class IGEVStereo(nn.Module):
             contexts.append(tuple(jnp.split(z, 3, axis=-1)))
         contexts = tuple(contexts)
 
-        # pyramids for the combined lookup (float32 for stable sampling)
-        gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)  # [B,H,W,D,8]
-        geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
+        # pyramids for the combined lookup. Values are held in the model
+        # dtype (bf16 halves the per-iteration hat-contraction HBM
+        # traffic; sample positions and interpolation weights stay f32 —
+        # ops/sampling.py); dtype=None keeps the exact f32 path parity
+        # tests and goldens run on.
+        lkdt = self.dtype or jnp.float32
+        geo_vol = jnp.moveaxis(gev, 1, 3).astype(lkdt)  # [B,H,W,D,8]
+        geo_pyr = tuple(build_volume_pyramid(geo_vol, self.corr_levels))
         band_offs = ()
         if self.corr_impl == "banded":
             # eval: band reach = the model's own max_disp (the GEV's
@@ -339,9 +344,10 @@ class IGEVStereo(nn.Module):
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
-                match_left.astype(jnp.float32),
-                match_right.astype(jnp.float32), self.corr_levels, db,
+                match_left.astype(lkdt),
+                match_right.astype(lkdt), self.corr_levels, db,
                 self.corr_radius, m4, normalize=False)
+            corr_pyr = tuple(c.astype(lkdt) for c in corr_pyr)
         else:
             corr = all_pairs_correlation(match_left.astype(jnp.float32),
                                          match_right.astype(jnp.float32),

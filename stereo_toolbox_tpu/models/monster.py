@@ -583,8 +583,12 @@ class Monster(nn.Module):
             contexts.append(tuple(jnp.split(z, 3, axis=-1)))
         contexts = tuple(contexts)
 
-        gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
-        geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
+        # lookup pyramids in the model dtype (bf16 halves per-iteration
+        # HBM traffic; positions/weights stay f32 — ops/sampling.py);
+        # dtype=None keeps the exact f32 parity/golden path
+        lkdt = self.dtype or jnp.float32
+        geo_vol = jnp.moveaxis(gev, 1, 3).astype(lkdt)
+        geo_pyr = tuple(build_volume_pyramid(geo_vol, self.corr_levels))
         # IGEV-style corr is unnormalized (MonSter/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
@@ -596,9 +600,10 @@ class Monster(nn.Module):
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
-                match_left.astype(jnp.float32),
-                match_right.astype(jnp.float32), self.corr_levels, d4,
+                match_left.astype(lkdt),
+                match_right.astype(lkdt), self.corr_levels, d4,
                 self.corr_radius, m4, normalize=False)
+            corr_pyr = tuple(c.astype(lkdt) for c in corr_pyr)
         else:
             corr = all_pairs_correlation(match_left.astype(jnp.float32),
                                          match_right.astype(jnp.float32),

@@ -343,8 +343,14 @@ class RAFTStereo(nn.Module):
             m4 = max(self.band_margin // factor, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)
+            # bands held in the model dtype: bf16 halves the per-iteration
+            # hat-contraction HBM traffic (positions/weights stay f32 —
+            # ops/sampling.py); dtype=None keeps the exact f32 path
+            lkdt = self.dtype or jnp.float32
             pyramid = build_corr_band_pyramid(
-                fmap1, fmap2, self.corr_levels, d4, self.corr_radius, m4)
+                fmap1.astype(lkdt), fmap2.astype(lkdt), self.corr_levels,
+                d4, self.corr_radius, m4)
+            pyramid = tuple(c.astype(lkdt) for c in pyramid)
         else:
             corr = all_pairs_correlation(fmap1, fmap2)
             pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))

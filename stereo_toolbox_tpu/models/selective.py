@@ -87,12 +87,15 @@ class RaftConvGRU(nn.Module):
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        from stereo_toolbox_tpu.nn.gru import Conv2dParams, fused_gate_conv
         k = (self.kernel_size, self.kernel_size)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding="SAME",
-                                   dtype=self.dtype, name="convz")(hx))
-        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding="SAME",
-                                   dtype=self.dtype, name="convr")(hx))
+        z, r = fused_gate_conv(
+            hx, [Conv2dParams(self.hidden_dim, k, name="convz"),
+                 Conv2dParams(self.hidden_dim, k, name="convr")],
+            dtype=self.dtype)
+        z = jax.nn.sigmoid(z)
+        r = jax.nn.sigmoid(r)
         q = jnp.tanh(nn.Conv(self.hidden_dim, k, padding="SAME",
                              dtype=self.dtype, name="convq")(
             jnp.concatenate([r * h, x], axis=-1)))
@@ -292,8 +295,12 @@ class SelectiveRAFT(nn.Module):
             m4 = max(self.band_margin // factor, 1)
             band_offs = band_offsets(self.corr_levels, d4,
                                      self.corr_radius, m4)
+            # bf16 bands in the model dtype — see RAFTStereo
+            lkdt = self.dtype or jnp.float32
             pyramid = build_corr_band_pyramid(
-                fmap1, fmap2, self.corr_levels, d4, self.corr_radius, m4)
+                fmap1.astype(lkdt), fmap2.astype(lkdt), self.corr_levels,
+                d4, self.corr_radius, m4)
+            pyramid = tuple(c.astype(lkdt) for c in pyramid)
         else:
             corr = all_pairs_correlation(fmap1, fmap2)
             pyramid = tuple(build_corr_pyramid(corr, self.corr_levels))
@@ -448,8 +455,12 @@ class SelectiveIGEV(nn.Module):
                                      name="cnet")(img1)
         nets, inps, atts = _cam_sam_context(cnet_out, self.dtype)
 
-        gev32 = jnp.moveaxis(gev.astype(jnp.float32), 1, 3)
-        geo_pyr = tuple(build_volume_pyramid(gev32, self.corr_levels))
+        # lookup pyramids in the model dtype (bf16 halves per-iteration
+        # HBM traffic; positions/weights stay f32 — ops/sampling.py);
+        # dtype=None keeps the exact f32 parity/golden path
+        lkdt = self.dtype or jnp.float32
+        geo_vol = jnp.moveaxis(gev, 1, 3).astype(lkdt)
+        geo_pyr = tuple(build_volume_pyramid(geo_vol, self.corr_levels))
         # IGEV-style corr is unnormalized (SelectiveIGEV/geometry.py:60-68)
         band_offs = ()
         if self.corr_impl == "banded":
@@ -460,9 +471,10 @@ class SelectiveIGEV(nn.Module):
             band_offs = band_offsets(self.corr_levels, db,
                                      self.corr_radius, m4)
             corr_pyr = build_corr_band_pyramid(
-                match_left.astype(jnp.float32),
-                match_right.astype(jnp.float32), self.corr_levels, db,
+                match_left.astype(lkdt),
+                match_right.astype(lkdt), self.corr_levels, db,
                 self.corr_radius, m4, normalize=False)
+            corr_pyr = tuple(c.astype(lkdt) for c in corr_pyr)
         else:
             corr = all_pairs_correlation(match_left.astype(jnp.float32),
                                          match_right.astype(jnp.float32),

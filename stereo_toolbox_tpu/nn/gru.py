@@ -14,6 +14,50 @@ import jax
 import jax.numpy as jnp
 
 
+class Conv2dParams(nn.Module):
+    """Registers ``nn.Conv``-compatible params (``kernel`` [+ ``bias``])
+    without computing, so callers can fuse several same-input, same-kernel
+    convs into ONE ``conv_general_dilated`` with concatenated output
+    channels. A GRU's z and r gates read the same ``[h, x]`` — two narrow
+    Cout=hidden convs waste MXU columns; the fused conv computes the exact
+    same per-channel dot products at twice the output width. Param paths
+    stay identical to the unfused ``nn.Conv`` modules, so checkpoints and
+    torch imports are unaffected."""
+    features: int
+    kernel_size: Sequence[int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = tuple(self.kernel_size)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            k + (in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+def fused_gate_conv(x: jax.Array, mods: Sequence[Conv2dParams],
+                    dtype=None) -> list[jax.Array]:
+    """One SAME conv over ``x`` evaluating every gate in ``mods``; returns
+    the per-gate outputs (same values as applying each conv separately)."""
+    kparts, bparts = zip(*(m(x.shape[-1]) for m in mods))
+    kernel = jnp.concatenate(kparts, axis=-1)
+    bias = (jnp.concatenate(bparts) if bparts[0] is not None else None)
+    x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias
+    outs, off = [], 0
+    for m in mods:
+        outs.append(y[..., off:off + m.features])
+        off += m.features
+    return outs
+
+
 class ConvGRU(nn.Module):
     """GRU cell with 2D conv gates and optional external context biases.
 
@@ -30,10 +74,10 @@ class ConvGRU(nn.Module):
                  ) -> jax.Array:
         k = (self.kernel_size, self.kernel_size)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.Conv(self.hidden_dim, k, padding="SAME", dtype=self.dtype,
-                    name="convz")(hx)
-        r = nn.Conv(self.hidden_dim, k, padding="SAME", dtype=self.dtype,
-                    name="convr")(hx)
+        z, r = fused_gate_conv(
+            hx, [Conv2dParams(self.hidden_dim, k, name="convz"),
+                 Conv2dParams(self.hidden_dim, k, name="convr")],
+            dtype=self.dtype)
         if context is not None:
             cz, cr, cq = context
             z = z + cz
@@ -60,12 +104,12 @@ class SepConvGRU(nn.Module):
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         for name, k in (("h", (1, 5)), ("v", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding="SAME",
-                                       dtype=self.dtype,
-                                       name=f"convz_{name}")(hx))
-            r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, k, padding="SAME",
-                                       dtype=self.dtype,
-                                       name=f"convr_{name}")(hx))
+            z, r = fused_gate_conv(
+                hx, [Conv2dParams(self.hidden_dim, k, name=f"convz_{name}"),
+                     Conv2dParams(self.hidden_dim, k, name=f"convr_{name}")],
+                dtype=self.dtype)
+            z = jax.nn.sigmoid(z)
+            r = jax.nn.sigmoid(r)
             q = jnp.tanh(nn.Conv(self.hidden_dim, k, padding="SAME",
                                  dtype=self.dtype, name=f"convq_{name}")(
                 jnp.concatenate([r * h, x], axis=-1)))

@@ -103,6 +103,20 @@ class Conv3dFlex(nn.Module):
             from stereo_toolbox_tpu.ops.conv3d import conv3d_via_2d
             y = conv3d_via_2d(x, kernel, tuple(self.strides),
                               tuple(self.padding))
+        elif self.impl == "d2d":
+            # (kd, 1, 1) disparity-axis conv as a (kd, 1) 2D conv over
+            # [B, D, H·W, C] — skips the 3D path's lowering overhead on
+            # large volumes (16 vs 19.5 ms at 104×184×320×28; the native
+            # path wins below ~2M voxels, callers pick by shape)
+            kd, kh, kw = self.kernel_size
+            assert (kh, kw) == (1, 1), self.kernel_size
+            b, d, h, w, ci = x.shape
+            pd = self.padding[0]
+            y = jax.lax.conv_general_dilated(
+                x.reshape(b, d, h * w, ci), kernel[:, 0],
+                (self.strides[0], 1), ((pd, pd), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y.reshape(b, y.shape[1], h, w, self.features)
         else:
             y = jax.lax.conv_general_dilated(
                 x, kernel, tuple(self.strides),

@@ -53,6 +53,7 @@ from stereo_toolbox_tpu.ops.upsample import (
     context_upsample,
 )
 from stereo_toolbox_tpu.ops.volume import (
+    pointwise_conv_gwc_concat,
     gather_right_by_samples,
     concat_volume_from_samples,
     gwc_volume_from_samples,
@@ -62,6 +63,7 @@ from stereo_toolbox_tpu.ops.volume import (
 __all__ = [
     "shifted_right_stack",
     "build_concat_volume",
+    "pointwise_conv_gwc_concat",
     "build_gwc_volume_cosine",
     "build_gwc_volume",
     "build_norm_correlation_volume",

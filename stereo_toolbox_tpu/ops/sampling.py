@@ -112,10 +112,15 @@ def sample_1d(values: jax.Array, x: jax.Array,
         # weights[.., k, d] = relu(1 - |x_k - d|): exactly linear interp with
         # zero out-of-range (a position in (-1, 0) puts weight only on d=0,
         # matching (1-frac)·0 + frac·v[0]; a position ≤ -1 or ≥ N touches
-        # nothing).
-        d = jax.lax.iota(values.dtype, n)
-        wts = jax.nn.relu(1.0 - jnp.abs(x[..., None].astype(values.dtype)
-                                        - d))
+        # nothing). The |x - d| subtraction always runs in ≥f32 — position
+        # resolution must not degrade with bf16 values — and only the
+        # resulting [0, 1] weight is cast down, so passing bf16 `values`
+        # (the models' eval fast path: half the HBM traffic of the
+        # contraction) rounds the interpolation weight, not the position.
+        wdt = jnp.promote_types(x.dtype, jnp.float32)
+        d = jax.lax.iota(wdt, n)
+        wts = jax.nn.relu(1.0 - jnp.abs(x[..., None].astype(wdt) - d))
+        wts = wts.astype(values.dtype)
         return jnp.sum(wts * values[..., None, :], axis=-1)
 
     batch = jnp.broadcast_shapes(values.shape[:-1], x.shape[:-1])

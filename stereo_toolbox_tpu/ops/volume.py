@@ -46,6 +46,48 @@ def shifted_right_stack(right: jax.Array, max_disp: int) -> jax.Array:
     return jnp.stack(stack, axis=1)
 
 
+def pointwise_conv_gwc_concat(gwc: jax.Array, left_p: jax.Array,
+                              right_p: jax.Array, kernel: jax.Array,
+                              bias: jax.Array | None = None) -> jax.Array:
+    """``conv1x1x1(concat([gwc, build_concat_volume(left_p, right_p, D,
+    mask_left=False)]), kernel)`` without materializing the concat volume.
+
+    A 1×1×1 conv is linear in its input, and the unmasked concat volume is
+    structured: its left half is d-invariant (``L[h, w]`` at every d) and
+    its right half a pure diagonal shift (``R[h, w-d]``). So the conv
+    factorizes into (FoundationStereo's `corr_stem` entry,
+    reference foundation_stereo.py:240-252):
+
+        out[d] = gwc[d]·Wg  +  (L·Wl)  +  shift(R·Wr, d)
+
+    — two [H, W] matmuls in place of a D·H·W one, and the 2C-channel
+    volume (plus its concat with gwc) is never written to HBM. Exact up to
+    float reassociation.
+
+    Args:
+      gwc: ``[B, D, H, W, G]`` group-correlation volume.
+      left_p, right_p: ``[B, H, W, C]`` projected features.
+      kernel: ``[1, 1, 1, G+2C, Co]`` (or ``[G+2C, Co]``) conv kernel with
+        gwc channels first, as the concatenated volume lays them out.
+      bias: optional ``[Co]``.
+
+    Returns:
+      ``[B, D, H, W, Co]``.
+    """
+    g = gwc.shape[-1]
+    c = left_p.shape[-1]
+    k2 = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+    assert k2.shape[0] == g + 2 * c, (kernel.shape, g, c)
+    wg, wl, wr = k2[:g], k2[g:g + c], k2[g + c:]
+    out = jnp.einsum("bdhwg,go->bdhwo", gwc, wg,
+                     preferred_element_type=jnp.float32).astype(gwc.dtype)
+    out = out + (left_p @ wl)[:, None]
+    out = out + shifted_right_stack(right_p @ wr, gwc.shape[1])
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _left_valid_mask(max_disp: int, width: int, dtype) -> jax.Array:
     """``[D, W]`` mask: 1 where w >= d (the reference zero-fills w < d)."""
     d = jnp.arange(max_disp)[:, None]
